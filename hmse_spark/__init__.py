@@ -1,0 +1,20 @@
+"""hmse_spark — a PySpark-native near-duplicate detection + clustering engine.
+
+A from-scratch distributed re-expression of the capabilities specified by the
+HMSE reference (/root/reference/README.md): L1 DEFLATE compression accounting,
+L2 FastCDC content-defined chunking, L3 SHA-256 exact deduplication, and
+L4 MinHash/LSH near-duplicate detection + delta encoding — plus driver-mandated
+SimHash and suffix-array substring variants and connected-components clustering.
+
+Architecture is Spark-first: DataFrame/SQL logical plans optimized by Catalyst,
+vectorized Arrow pandas UDFs for the content-defined kernels (chunking, MinHash,
+SimHash), shuffle-based group-bys instead of mutable hash indices, and
+checkpointed stage tables instead of periodic SD-card index flushes
+(reference: README.md:173-175, 1503-1583).
+"""
+
+from hmse_spark.config import PipelineConfig
+
+__version__ = "0.1.0"
+
+__all__ = ["PipelineConfig"]

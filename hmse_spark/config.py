@@ -1,0 +1,68 @@
+"""Frozen pipeline parameters.
+
+Every constant here is pinned to the reference specification (FIXTURES.md §F3):
+
+- shingle size k=4 (bytes), stride 1      — README.md:1349-1357, 2584-2586
+- MinHash n=128, seeds [1..128]           — README.md:1365-1373; VALIDATION_METHODS.md:122
+- LSH b=4 bands x r=32 rows (definitive)  — README.md:1987-1996
+- FastCDC min 1024 / avg 4096 / max 16384 — README.md:2444-2447
+- FastCDC boundary (hash & 4095) == 0     — README.md:2480-2489
+- rolling hash h = (h<<1) ^ in ^ (out<<7), 64-byte window — README.md:2456-2464
+  (frozen as THE spec; the polynomial form at README.md:1219-1226 is the
+  rejected alternative)
+- delta kept only if <= 20% of original   — README.md:1328, 2174-2175
+- chunk identity = SHA-256 of chunk bytes — README.md:290
+- corpus seed 42                           — VALIDATION_METHODS.md:119
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # L2 FastCDC (README.md:2444-2447, 2456-2489)
+    cdc_min_size: int = 1024
+    cdc_avg_size: int = 4096
+    cdc_max_size: int = 16384
+    cdc_mask: int = 4095          # boundary predicate (hash & mask) == 0
+    cdc_window: int = 64          # rolling-hash window bytes
+
+    # L4 MinHash (README.md:1365-1373; VALIDATION_METHODS.md:122)
+    shingle_k: int = 4
+    num_hashes: int = 128
+    seed_start: int = 1           # seeds are [1..128] — deterministic, no RNG
+
+    # L4 LSH banding (README.md:1987-1996)
+    num_bands: int = 4
+    rows_per_band: int = 32
+
+    # Similarity / delta (README.md:373-377, 1328, 2174-2175)
+    jaccard_threshold: float = 0.85   # high-confidence regime s >= 0.85
+    delta_max_fraction: float = 0.20  # keep delta only if <= 20% of original
+
+    # SimHash variant (driver-mandated; Charikar 2002 / Manku et al. WWW 2007)
+    simhash_bits: int = 64
+    simhash_bands: int = 4        # 4 x 16-bit bands
+    simhash_max_hamming: int = 3  # verify threshold on candidate pairs
+
+    # Suffix-array substring variant (Lee et al., ACL 2022)
+    substr_min_len: int = 50          # minimum shared-substring length (bytes)
+    substr_coverage: float = 0.5      # doc-pair edge if coverage >= threshold
+    substr_partition_bytes: int = 64 << 20  # hard per-partition byte bound
+
+    # Skew handling for the band self-join (README.md:1929-1933 hot-bucket model)
+    max_bucket_size: int = 200    # buckets above this are capped (pairs vs a
+                                  # bounded sample of canonical members) and the
+                                  # overflow is logged, never silently dropped
+    # Engine
+    shuffle_partitions: int = 32
+    corpus_seed: int = 42
+
+    @property
+    def seeds(self) -> list[int]:
+        return list(range(self.seed_start, self.seed_start + self.num_hashes))
+
+
+DEFAULT = PipelineConfig()

@@ -1,0 +1,255 @@
+"""Deterministic synthetic source-code corpus with dedup ground truth.
+
+Implements FIXTURES.md §F1: an Iceberg-shaped table
+``(repo, path, commit, lang, content)`` whose redundancy profile mirrors the
+reference's corpus model (/root/reference/README.md:2123-2127):
+
+- exact duplicates   (L3 targets)  — verbatim copies under new repo/path/commit
+- similar variants   (L4 targets)  — clones edited to controlled 4-gram Jaccard
+                                     levels {0.75, 0.85, 0.90, 0.95}
+- unique content                   — independently generated synthetic code
+- incompressible     (worst case)  — seeded random hex blobs
+                                     (VALIDATION_METHODS.md:213)
+
+Everything is seeded (seed=42, VALIDATION_METHODS.md:119); no randomness
+survives into the outputs. Ground-truth side tables (truth_pairs,
+truth_clusters) are produced by construction + exact 4-gram Jaccard
+measurement, the same shingle definition the engine uses.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from hmse_spark.functions.shingles import jaccard_4gram
+
+LANGS = ["python", "javascript", "c", "cpp", "java", "go"]
+EXTS = {"python": "py", "javascript": "js", "c": "c", "cpp": "cc", "java": "java", "go": "go"}
+
+_KEYWORDS = {
+    "python": ["def", "return", "if", "else", "for", "in", "class", "import", "while", "yield"],
+    "javascript": ["function", "return", "if", "else", "for", "const", "let", "var", "class"],
+    "c": ["int", "return", "if", "else", "for", "while", "struct", "void", "static", "char"],
+    "cpp": ["int", "return", "if", "else", "for", "auto", "class", "template", "void"],
+    "java": ["public", "return", "if", "else", "for", "class", "void", "static", "final"],
+    "go": ["func", "return", "if", "else", "for", "range", "type", "struct", "var"],
+}
+
+
+@dataclass
+class CorpusSpec:
+    """Knobs for corpus shape. Defaults follow FIXTURES.md row-share ranges;
+    byte shares are skewed (duplicated docs are longer) so the full-pipeline
+    dedup ratio can be calibrated to the 9.371:1 fixture target."""
+
+    n_files: int = 500
+    seed: int = 42
+    unique_frac: float = 0.45        # rows: 40-55% unique
+    exact_frac: float = 0.18         # rows: 15-20% exact dups
+    variant_frac: float = 0.33       # rows: 30-40% near-dup variants
+    # remaining rows are incompressible random blobs
+    unique_len: tuple[int, int] = (800, 3000)
+    base_len: tuple[int, int] = (4000, 12000)   # bases for dup/variant families
+    random_len: tuple[int, int] = (500, 1500)
+    variant_jaccards: tuple[float, ...] = (0.75, 0.85, 0.90, 0.95)
+    # extra verbatim copies appended to calibrate the global dedup ratio;
+    # expressed as target fraction of total bytes (0 disables)
+    calibration_copy_bytes: int = 0
+
+
+@dataclass
+class Corpus:
+    rows: list[dict] = field(default_factory=list)       # repo,path,commit,lang,content,file_id
+    truth_pairs: list[dict] = field(default_factory=list)  # id_a,id_b,jaccard,is_dup
+    truth_clusters: dict[int, int] = field(default_factory=dict)  # file_id -> cluster_id
+
+
+def _gen_code(rng: np.random.Generator, lang: str, target_len: int) -> str:
+    """Synthetic source text from a per-call random identifier vocabulary."""
+    kw = _KEYWORDS[lang]
+    idents = [f"v{rng.integers(0, 10**6)}" for _ in range(24)]
+    funcs = [f"fn_{rng.integers(0, 10**6)}" for _ in range(8)]
+    lines: list[str] = []
+    size = 0
+    while size < target_len:
+        r = rng.integers(0, 5)
+        if r == 0:
+            line = f"{kw[0]} {rng.choice(funcs)}({rng.choice(idents)}, {rng.choice(idents)}):"
+        elif r == 1:
+            line = f"    {rng.choice(idents)} = {rng.choice(idents)} + {rng.integers(0, 9999)}"
+        elif r == 2:
+            line = f"    {kw[1]} {rng.choice(idents)} * {rng.choice(idents)}"
+        elif r == 3:
+            line = f"    {kw[2]} {rng.choice(idents)} > {rng.integers(0, 999)}: {rng.choice(idents)} -= 1"
+        else:
+            line = f"    # {rng.choice(idents)} {rng.choice(idents)} {rng.integers(0, 99)}"
+        lines.append(line)
+        size += len(line) + 1
+    return "\n".join(lines) + "\n"
+
+
+def _edit_to_jaccard(rng: np.random.Generator, base: str, target_j: float) -> str:
+    """Substitute single characters until 4-gram Jaccard vs base ~= target.
+
+    Deterministic given rng state. One substitution perturbs <= 4 shingles, so
+    the initial guess is n_shingles * (1-j) / (4 * (1+j)); then measure and
+    top up in small steps.
+    """
+    b = bytearray(base.encode())
+    n = max(len(b) - 3, 1)
+    # conservative start (repetitive code text makes the analytic 4-shingles-
+    # per-edit estimate an overshoot), then fine-grained top-up measurements
+    guess = max(int(n * (1.0 - target_j) / (8.0 * (1.0 + target_j))), 1)
+    alphabet = b"abcdefghijklmnopqrstuvwxyz0123456789"
+
+    def apply_edits(count: int) -> None:
+        pos = rng.integers(0, len(b), size=count)
+        sub = rng.integers(0, len(alphabet), size=count)
+        for p, s in zip(pos, sub):
+            b[p] = alphabet[s]
+
+    apply_edits(guess)
+    base_bytes = base.encode()
+    for _ in range(400):
+        j = jaccard_4gram(base_bytes, bytes(b))
+        if j <= target_j + 0.004:
+            break
+        # proportional step, shrinking near the target
+        gap = j - target_j
+        step = max(int(n * gap / 16.0), 2)
+        apply_edits(step)
+    return bytes(b).decode("ascii")
+
+
+def generate_corpus(spec: CorpusSpec | None = None) -> Corpus:
+    spec = spec or CorpusSpec()
+    rng = np.random.default_rng(spec.seed)
+    corpus = Corpus()
+    rows = corpus.rows
+
+    n_unique = int(spec.n_files * spec.unique_frac)
+    n_exact = int(spec.n_files * spec.exact_frac)
+    n_variant = int(spec.n_files * spec.variant_frac)
+    n_random = max(spec.n_files - n_unique - n_exact - n_variant, 0)
+
+    def add_row(content: str, lang: str, family: int | None) -> int:
+        i = len(rows)
+        repo = f"org{i // 50}/repo{i % 50}"
+        ext = EXTS[lang]
+        path = f"src/module_{i % 17}/file_{i}.{ext}"
+        commit = hashlib.sha256(f"{repo}:{path}:{i}".encode()).hexdigest()[:40]
+        rows.append(
+            {
+                "file_id": i,
+                "repo": repo,
+                "path": path,
+                "commit": commit,
+                "lang": lang,
+                "content": content,
+                "_family": family,
+            }
+        )
+        return i
+
+    # 1) unique docs
+    for _ in range(n_unique):
+        lang = LANGS[int(rng.integers(0, len(LANGS)))]
+        tl = int(rng.integers(*spec.unique_len))
+        add_row(_gen_code(rng, lang, tl), lang, None)
+
+    # 2) near-dup variant families: base + variants at controlled Jaccard
+    family_members: dict[int, list[tuple[int, str]]] = {}
+    fam = 0
+    made = 0
+    while made < n_variant:
+        lang = LANGS[int(rng.integers(0, len(LANGS)))]
+        tl = int(rng.integers(*spec.base_len))
+        base = _gen_code(rng, lang, tl)
+        bid = add_row(base, lang, fam)
+        family_members[fam] = [(bid, base)]
+        made += 1
+        k = int(rng.integers(2, 6))  # variants per family
+        for v in range(min(k, n_variant - made)):
+            tj = spec.variant_jaccards[int(rng.integers(0, len(spec.variant_jaccards)))]
+            var = _edit_to_jaccard(rng, base, tj)
+            vid = add_row(var, lang, fam)
+            family_members[fam].append((vid, var))
+            made += 1
+        fam += 1
+
+    # 3) exact duplicates of earlier rows (different repo/path/commit)
+    for _ in range(n_exact):
+        src = rows[int(rng.integers(0, len(rows)))]
+        i = add_row(src["content"], src["lang"], src["_family"])
+        f = src["_family"]
+        if f is not None:
+            family_members[f].append((i, src["content"]))
+        else:
+            # exact copy of a non-family doc forms its own 2-doc family
+            nf = fam
+            fam += 1
+            family_members[nf] = [(src["file_id"], src["content"]), (i, src["content"])]
+            rows[src["file_id"]]["_family"] = nf
+            rows[i]["_family"] = nf
+
+    # 4) incompressible random hex blobs
+    for _ in range(n_random):
+        nbytes = int(rng.integers(*spec.random_len))
+        blob = rng.integers(0, 256, size=nbytes, dtype=np.uint8).tobytes().hex()
+        add_row(blob, "c", None)
+
+    # 5) optional calibration copies: verbatim repeats until byte budget met
+    if spec.calibration_copy_bytes > 0:
+        budget = spec.calibration_copy_bytes
+        j = 0
+        candidates = [r for r in rows if r["_family"] is not None]
+        while budget > 0 and candidates:
+            src = candidates[j % len(candidates)]
+            i = add_row(src["content"], src["lang"], src["_family"])
+            family_members[src["_family"]].append((i, src["content"]))
+            budget -= len(src["content"])
+            j += 1
+
+    # ---- ground truth: within-family exact Jaccard (cross-family ~ 0 by
+    # construction: independent random vocabularies)
+    for f, members in family_members.items():
+        for a in range(len(members)):
+            for b in range(a + 1, len(members)):
+                ia, ca = members[a]
+                ib, cb = members[b]
+                # all generated content is ASCII, so .encode() is unambiguous
+                j = 1.0 if ca == cb else jaccard_4gram(ca.encode(), cb.encode())
+                corpus.truth_pairs.append(
+                    {"id_a": min(ia, ib), "id_b": max(ia, ib), "jaccard": j, "is_dup": bool(j >= 0.85)}
+                )
+
+    # truth clusters = transitive closure of is_dup pairs (union-find)
+    parent = list(range(len(rows)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in corpus.truth_pairs:
+        if p["is_dup"]:
+            ra, rb = find(p["id_a"]), find(p["id_b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    corpus.truth_clusters = {i: find(i) for i in range(len(rows))}
+    return corpus
+
+
+def corpus_to_spark(spark, corpus: Corpus):
+    """Materialize the corpus as the input DataFrame (repo,path,commit,lang,
+    content) + a file_id column used by tests."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [{k: v for k, v in r.items() if k != "_family"} for r in corpus.rows]
+    )
+    return spark.createDataFrame(pdf[["file_id", "repo", "path", "commit", "lang", "content"]])

@@ -1,0 +1,1 @@
+"""Vectorized numpy kernels + Spark column helpers used by the operators."""

@@ -1,0 +1,139 @@
+"""Numpy-vectorized MurmurHash3_x86_32 and 64-bit avalanche hashing.
+
+The reference mandates MurmurHash3_x86_32(shingle, seed) with deterministic
+seeds [1..128] for the MinHash stage (/root/reference/README.md:2589-2592;
+VALIDATION_METHODS.md:122). No per-row Python: everything below operates on
+numpy arrays so the Arrow pandas UDFs stay vectorized end to end.
+
+Correctness anchors:
+- matches the canonical scalar MurmurHash3_x86_32 (Appleby, public domain)
+  bit-for-bit (tests/test_hashing.py has a scalar reference implementation
+  plus published verification vectors);
+- matches Spark's built-in ``F.hash`` (Murmur3_x86_32, seed 42) on int32
+  inputs, which Spark hashes as a single 4-byte little-endian block —
+  an independent JVM-side oracle for the same math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_C1 = np.uint32(0xCC9E2D51)
+_C2 = np.uint32(0x1B873593)
+_M5 = np.uint32(5)
+_N = np.uint32(0xE6546B64)
+_F1 = np.uint32(0x85EBCA6B)
+_F2 = np.uint32(0xC2B2AE35)
+
+
+def _rotl32(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint32(r)
+    return (x << r) | (x >> np.uint32(32 - r))
+
+
+def mm3_mix_k(k: np.ndarray) -> np.ndarray:
+    """Seed-independent block mix of murmur3 (k*c1, rotl15, k*c2).
+
+    Precomputing this once per shingle lets the 128-seed MinHash loop reuse it:
+    only the seed-dependent tail differs per hash function.
+    """
+    k = k.astype(np.uint32, copy=True)
+    with np.errstate(over="ignore"):
+        k *= _C1
+        k = _rotl32(k, 15)
+        k *= _C2
+    return k
+
+
+def mm3_fmix(h: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint32(16)
+        h *= _F1
+        h ^= h >> np.uint32(13)
+        h *= _F2
+        h ^= h >> np.uint32(16)
+    return h
+
+
+def mm3_u32(keys: np.ndarray, seed: int) -> np.ndarray:
+    """MurmurHash3_x86_32 of each 4-byte key (uint32, little-endian block)."""
+    return mm3_u32_premixed(mm3_mix_k(keys), seed)
+
+
+def mm3_u32_premixed(mixed: np.ndarray, seed: int) -> np.ndarray:
+    """Finish murmur3 for 4-byte keys whose block mix was precomputed."""
+    with np.errstate(over="ignore"):
+        h = np.uint32(seed) ^ mixed
+        h = _rotl32(h, 13)
+        h = h * _M5 + _N
+        h ^= np.uint32(4)  # total length = 4 bytes
+    return mm3_fmix(h)
+
+
+def mm3_u32_blocks(blocks: np.ndarray, seed: int) -> np.ndarray:
+    """MurmurHash3_x86_32 over multi-block keys, vectorized across rows.
+
+    ``blocks`` has shape (n_rows, n_blocks) uint32: each row is a key of
+    n_blocks*4 bytes (no tail). Used for LSH band hashes, where each band is
+    r=32 signature values = 128 bytes (README.md:1375-1383).
+    """
+    blocks = np.ascontiguousarray(blocks, dtype=np.uint32)
+    n_rows, n_blocks = blocks.shape
+    h = np.full(n_rows, np.uint32(seed), dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        for i in range(n_blocks):
+            k = blocks[:, i] * _C1
+            k = _rotl32(k, 15)
+            k *= _C2
+            h ^= k
+            h = _rotl32(h, 13)
+            h = h * _M5 + _N
+        h ^= np.uint32(4 * n_blocks)
+    return mm3_fmix(h)
+
+
+def mm3_bytes(data: bytes, seed: int) -> int:
+    """Scalar MurmurHash3_x86_32 over arbitrary bytes (driver-side helper)."""
+    n = len(data)
+    n_blocks = n // 4
+    arr = np.frombuffer(data[: n_blocks * 4], dtype="<u4").copy()
+    h = np.uint32(seed)
+    with np.errstate(over="ignore"):
+        for k in arr:
+            k = np.uint32(k) * _C1
+            k = np.uint32((int(k) << 15 | int(k) >> 17) & 0xFFFFFFFF)
+            k *= _C2
+            h ^= k
+            h = np.uint32((int(h) << 13 | int(h) >> 19) & 0xFFFFFFFF)
+            h = h * _M5 + _N
+        k1 = np.uint32(0)
+        tail = data[n_blocks * 4 :]
+        if len(tail) >= 3:
+            k1 ^= np.uint32(tail[2]) << np.uint32(16)
+        if len(tail) >= 2:
+            k1 ^= np.uint32(tail[1]) << np.uint32(8)
+        if len(tail) >= 1:
+            k1 ^= np.uint32(tail[0])
+            k1 *= _C1
+            k1 = np.uint32((int(k1) << 15 | int(k1) >> 17) & 0xFFFFFFFF)
+            k1 *= _C2
+            h ^= k1
+        h ^= np.uint32(n)
+    return int(mm3_fmix(np.array([h], dtype=np.uint32))[0])
+
+
+def avalanche64(x: np.ndarray) -> np.ndarray:
+    """64-bit finalizer (splitmix64/Murmur3 fmix64 constants) for SimHash.
+
+    Maps each uint64 input to a well-mixed uint64; used to derive the 64-bit
+    per-shingle hash for the SimHash variant (public Charikar-2002 design —
+    this stage is a driver-mandated extension, absent from the reference).
+    """
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
+    return x

@@ -1,0 +1,48 @@
+"""Byte-level k-gram shingling, vectorized.
+
+The reference shingles chunk content into 4-byte sliding-window shingles with
+stride 1 (/root/reference/README.md:1349-1357, 2584-2586). A shingle is the
+4 raw bytes interpreted as one little-endian uint32 — exactly the single-block
+key MurmurHash3_x86_32 consumes, so shingling and hashing compose with zero
+copies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def shingles_u32(data: bytes, k: int = 4) -> np.ndarray:
+    """All k-byte shingles of ``data`` as uint32 (k must be 4), stride 1.
+
+    Returns an empty array for inputs shorter than k.
+    """
+    if k != 4:
+        raise ValueError("reference spec freezes k=4 byte shingles")
+    n = len(data)
+    if n < k:
+        return np.empty(0, dtype=np.uint32)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    # windows[i] = bytes i..i+3 as little-endian uint32, built from 4 strided
+    # views — no per-shingle Python.
+    out = buf[:-3].astype(np.uint32)
+    out |= buf[1:-2].astype(np.uint32) << np.uint32(8)
+    out |= buf[2:-1].astype(np.uint32) << np.uint32(16)
+    out |= buf[3:].astype(np.uint32) << np.uint32(24)
+    return out
+
+
+def shingle_set_u32(data: bytes, k: int = 4) -> np.ndarray:
+    """Sorted unique shingles — the *set* MinHash and Jaccard operate on."""
+    return np.unique(shingles_u32(data, k))
+
+
+def jaccard_4gram(a: bytes, b: bytes) -> float:
+    """Exact Jaccard over 4-byte shingle sets (ground-truth / verify path)."""
+    sa, sb = shingle_set_u32(a), shingle_set_u32(b)
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    if sa.size == 0 or sb.size == 0:
+        return 0.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / (sa.size + sb.size - inter)

@@ -1,0 +1,1 @@
+"""Pipeline operators, each a pure DataFrame -> DataFrame transformation."""

@@ -1,0 +1,103 @@
+"""L3 exact deduplication: SHA-256 identity + canonical selection.
+
+Reference semantics (/root/reference/README.md:1210, 1263-1294, 1542-1551):
+hash each unit with SHA-256 and probe a hash index — on hit, emit a pointer
+record and bump the refcount; on miss, store the unit and insert an index
+entry. "First writer wins" picks the canonical copy by arrival order.
+
+Spark re-expression — no mutable index at all:
+
+- identity     = built-in ``F.sha2(content, 256)`` (JVM-side, codegen'd);
+- probe+insert = a single shuffle ``groupBy(sha)`` — partial (map-side)
+  aggregation means each executor pre-merges its duplicates before the
+  exchange, so shuffled bytes scale with *unique* units, not total rows;
+- canonical    = ``min(unit_id)`` per hash. Spark has no arrival order, so the
+  order-insensitive min-id rule replaces first-writer-wins deterministically
+  (SURVEY.md §2.5) — identical results at any parallelism;
+- pointer rows = a broadcast-friendly join back from units to the (small)
+  index of duplicated hashes.
+
+At 100 TB this is one shuffle keyed by a uniformly distributed 64-hex string:
+no skew by construction (SHA-256 keys are uniform), AQE coalesces the output,
+and the index table it produces is itself the checkpoint artifact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_sha(df: DataFrame, content_col: str = "content", out_col: str = "sha") -> DataFrame:
+    """Attach the SHA-256 identity column (hex). This is also the per-row
+    end-to-end invariant: sha2(content, 256) equals the reference's
+    hashlib.sha256(content.encode()).hexdigest() by construction (both FIPS
+    SHA-256 over UTF-8 bytes)."""
+    return df.withColumn(out_col, F.sha2(F.col(content_col), 256))
+
+
+def build_index(
+    units: DataFrame,
+    sha_col: str = "sha",
+    id_col: str = "file_id",
+    length_col: str | None = None,
+) -> DataFrame:
+    """The ChunkIndex analogue (README.md:1263-1270 — {sha256, lba, length,
+    refcount}): one row per distinct hash with refcount and canonical id."""
+    aggs = [
+        F.count("*").alias("refcount"),
+        F.min(id_col).alias("canonical_id"),
+    ]
+    if length_col is not None:
+        aggs.append(F.min(length_col).alias("length"))
+    return units.groupBy(F.col(sha_col)).agg(*aggs)
+
+
+def classify_records(
+    units: DataFrame,
+    index: DataFrame,
+    sha_col: str = "sha",
+    id_col: str = "file_id",
+) -> DataFrame:
+    """Tag every unit as canonical ('full') or duplicate ('pointer' to the
+    canonical id) — the reference's Full/Pointer record kinds
+    (README.md:1635-1674). Delta records are added later by the L4 stage."""
+    idx = index.select(sha_col, "canonical_id")
+    joined = units.join(F.broadcast(idx) if _small(index) else idx, on=sha_col, how="left")
+    return joined.withColumn(
+        "kind",
+        F.when(F.col(id_col) == F.col("canonical_id"), F.lit("full")).otherwise(F.lit("pointer")),
+    ).withColumn(
+        "base_id",
+        F.when(F.col(id_col) == F.col("canonical_id"), F.lit(None).cast("long")).otherwise(
+            F.col("canonical_id")
+        ),
+    )
+
+
+def _small(df: DataFrame) -> bool:
+    """Heuristic: let AQE/broadcast thresholds decide; only force broadcast
+    when the plan statistics clearly allow it. Conservative default False —
+    Catalyst's autoBroadcastJoinThreshold handles the real decision."""
+    return False
+
+
+def dedup_stats(units: DataFrame, sha_col: str = "sha", bytes_col: str = "n_bytes") -> DataFrame:
+    """Unique-ratio metrics (VALIDATION_METHODS.md:263: R_unique = N_unique /
+    N_total) and logical/physical byte accounting in one aggregation pass."""
+    per_hash = units.groupBy(sha_col).agg(
+        F.count("*").alias("copies"), F.min(bytes_col).alias("unique_bytes")
+    )
+    return per_hash.agg(
+        F.count("*").alias("n_unique"),
+        F.sum("copies").alias("n_total"),
+        F.sum(F.col("copies") * F.col("unique_bytes")).alias("logical_bytes"),
+        F.sum("unique_bytes").alias("physical_bytes"),
+    ).select(
+        "n_unique",
+        "n_total",
+        (F.col("n_unique") / F.col("n_total")).alias("unique_ratio"),
+        "logical_bytes",
+        "physical_bytes",
+        (F.col("logical_bytes") / F.col("physical_bytes")).alias("dedup_ratio"),
+    )

@@ -1,0 +1,1 @@
+"""Logical-plan assembly: query registry, pipeline orchestration, checkpoints."""

@@ -1,0 +1,125 @@
+"""Registry of named queries + DuckDB oracle SQL.
+
+Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Every aggregate/computed column is aliased identically on both sides so the
+driver's order-insensitive value-hash comparison holds (CORRECTNESS gate).
+
+Oracle-checkable operators get SQL; MinHash/LSH/CC and other non-SQL ops are
+registered with oracle None (rows-only driver check) and covered instead by
+golden-file + ground-truth pytest suites (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hmse_spark.operators import exact_dedup
+from hmse_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+# --------------------------------------------------------------------------
+# L3 exact dedup (reference README.md:1210, 1263-1294) over the documents
+# table — the oracle-checkable face of the exact-dedup operator.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "exact_dup_groups",
+    """
+    SELECT sha256(text) AS sha,
+           CAST(COUNT(*) AS BIGINT) AS refcount,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    units = exact_dedup.with_sha(docs, content_col="text")
+    return exact_dedup.build_index(units, id_col="doc_id").select(
+        "sha", "refcount", "canonical_id"
+    )
+
+
+@register(
+    "exact_dedup_stats",
+    """
+    WITH per_hash AS (
+      SELECT sha256(text) AS sha,
+             COUNT(*) AS copies,
+             MIN(length(text)) AS unique_chars
+      FROM documents GROUP BY sha256(text)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(copies) AS BIGINT) AS n_total,
+           CAST(ROUND(COUNT(*) * 1.0 / SUM(copies), 6) AS DOUBLE) AS unique_ratio,
+           CAST(SUM(copies * unique_chars) AS BIGINT) AS logical_chars,
+           CAST(SUM(unique_chars) AS BIGINT) AS physical_chars
+    FROM per_hash
+    """,
+)
+def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    units = exact_dedup.with_sha(docs, content_col="text").withColumn(
+        "n_chars_calc", F.length("text")
+    )
+    per_hash = units.groupBy("sha").agg(
+        F.count("*").alias("copies"), F.min("n_chars_calc").alias("unique_chars")
+    )
+    return per_hash.agg(
+        F.count("*").alias("n_unique"),
+        F.sum("copies").alias("n_total"),
+        F.round(F.count("*") / F.sum("copies"), 6).alias("unique_ratio"),
+        F.sum(F.col("copies") * F.col("unique_chars")).alias("logical_chars"),
+        F.sum("unique_chars").alias("physical_chars"),
+    )
+
+
+@register(
+    "pointer_records",
+    """
+    WITH idx AS (
+      SELECT sha256(text) AS sha, MIN(doc_id) AS canonical_id
+      FROM documents GROUP BY sha256(text)
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id = i.canonical_id THEN 'full' ELSE 'pointer' END AS kind,
+           CASE WHEN d.doc_id = i.canonical_id THEN NULL ELSE i.canonical_id END AS base_id
+    FROM documents d JOIN idx i ON sha256(d.text) = i.sha
+    """,
+)
+def q_pointer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    units = exact_dedup.with_sha(docs, content_col="text")
+    index = exact_dedup.build_index(units, id_col="doc_id")
+    recs = exact_dedup.classify_records(units, index, id_col="doc_id")
+    return recs.select("doc_id", "kind", "base_id")
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §7 minimum slice: scan -> sha256 invariant -> exact-dedup
+    groups -> refcounts. Used by ``__spark_entry__.entry``."""
+    return q_exact_dup_groups(spark, sf_dir)

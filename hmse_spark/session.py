@@ -1,0 +1,47 @@
+"""SparkSession factory with the engine's explicit tuning.
+
+The north_rule requires partition counts, AQE, and skew handling to be
+explicit rather than inherited from defaults. Everything scale-relevant is
+set here, in one place:
+
+- AQE on, with skew-join splitting and partition coalescing — the band-bucket
+  self-join is the hot, skew-prone path (reference hot-bucket model:
+  /root/reference/README.md:1929-1933);
+- Arrow-backed pandas UDFs on (BASELINE.json mandates vectorized UDFs);
+- shuffle partitions sized for the local harness, overridable for clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "hmse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # keep broadcast available for small dims (band-seed tables, metrics)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

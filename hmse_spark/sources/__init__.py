@@ -1,0 +1,1 @@
+"""Table sources: driver testdata parquet + the synthetic repofiles corpus."""

@@ -1,0 +1,61 @@
+"""Source connectors.
+
+Production target is an Iceberg catalog (the reference's "input SD card",
+/root/reference/README.md:113, maps to an Iceberg table scan of
+``(repo, path, commit, lang, content)`` per BASELINE.json input_hint). The
+sandbox has no Iceberg runtime jars, so the same loader falls back to parquet
+directories — identical DataFrame downstream, and Catalyst still gets filter
+pushdown + column pruning on the parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-provided parquet table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_iceberg_or_parquet(spark: SparkSession, identifier: str) -> DataFrame:
+    """Load ``identifier`` as an Iceberg table if a catalog is configured,
+    else treat it as a parquet path. Keeps the pipeline code source-agnostic."""
+    try:
+        return spark.read.format("iceberg").load(identifier)
+    except Exception:
+        return spark.read.parquet(identifier)
+
+
+def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's ``documents`` table to the engine's input shape.
+
+    The engine's canonical input is (file_id, repo, path, commit, lang,
+    content); the oracle-checkable testdata exposes (doc_id, text, lang, ...).
+    This thin projection lets every operator run on driver data unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    return load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id"),
+        F.lit("testdata").alias("repo"),
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("path"),
+        F.sha2(F.concat_ws(":", F.col("doc_id"), F.col("lang")), 256).substr(1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )

@@ -1,0 +1,85 @@
+"""L3 exact-dedup operator tests, incl. the reference's 5-copy acceptance test
+(/root/reference/README.md:1210, 1298-1315): writing the corpus 5x must not
+grow the unique set, and the dedup ratio must scale by 5.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hmse_spark.corpus import CorpusSpec, generate_corpus, corpus_to_spark
+from hmse_spark.operators import exact_dedup
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    c = generate_corpus(CorpusSpec(n_files=120))
+    return corpus_to_spark(spark, c).cache(), c
+
+
+def test_sha_invariant_matches_hashlib(corpus_df):
+    """Per-row invariant (BASELINE.json input_hint): F.sha2(content, 256)
+    equals hashlib.sha256(content.encode()).hexdigest()."""
+    df, c = corpus_df
+    rows = exact_dedup.with_sha(df).select("file_id", "content", "sha").limit(25).collect()
+    for r in rows:
+        assert r["sha"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_index_refcounts(corpus_df):
+    df, c = corpus_df
+    units = exact_dedup.with_sha(df)
+    index = exact_dedup.build_index(units).cache()
+    total = df.count()
+    assert index.agg(F.sum("refcount")).first()[0] == total
+    # canonical id is the min file_id of each group — order-insensitive
+    some = index.filter(F.col("refcount") > 1).limit(5).collect()
+    assert some, "corpus must contain exact duplicates"
+    by_sha = {
+        r["sha"]: r["ids"]
+        for r in units.groupBy("sha").agg(F.collect_list("file_id").alias("ids")).collect()
+    }
+    for r in some:
+        assert r["canonical_id"] == min(by_sha[r["sha"]])
+
+
+def test_pointer_records_partition(corpus_df):
+    df, c = corpus_df
+    units = exact_dedup.with_sha(df)
+    index = exact_dedup.build_index(units)
+    recs = exact_dedup.classify_records(units, index).cache()
+    n_full = recs.filter("kind = 'full'").count()
+    n_ptr = recs.filter("kind = 'pointer'").count()
+    assert n_full + n_ptr == df.count()
+    assert n_full == index.count()
+    # every pointer's base is a full record with identical sha
+    bad = (
+        recs.filter("kind = 'pointer'")
+        .alias("p")
+        .join(recs.filter("kind = 'full'").alias("f"), F.col("p.base_id") == F.col("f.file_id"))
+        .filter(F.col("p.sha") != F.col("f.sha"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_five_copies_acceptance(spark):
+    """README.md:1298-1315: 5 copies of the corpus -> unique-chunk count
+    unchanged, dedup ratio ~5x the single-copy ratio."""
+    c = generate_corpus(CorpusSpec(n_files=60))
+    df = corpus_to_spark(spark, c)
+    five = df
+    for i in range(1, 5):
+        shifted = df.withColumn("file_id", F.col("file_id") + F.lit(i * 1_000_000))
+        five = five.unionByName(shifted)
+    units1 = exact_dedup.with_sha(df).withColumn("n_bytes", F.octet_length("content"))
+    units5 = exact_dedup.with_sha(five).withColumn("n_bytes", F.octet_length("content"))
+    s1 = exact_dedup.dedup_stats(units1).first()
+    s5 = exact_dedup.dedup_stats(units5).first()
+    assert s5["n_unique"] == s1["n_unique"]
+    assert s5["n_total"] == 5 * s1["n_total"]
+    assert s5["physical_bytes"] == s1["physical_bytes"]
+    assert abs(s5["dedup_ratio"] / s1["dedup_ratio"] - 5.0) < 1e-9

@@ -1,0 +1,87 @@
+"""Mimics the driver's correctness gate: run every registered query through
+Spark AND its DuckDB oracle SQL on the same parquet, compare row counts,
+column names, and order-insensitive values (sorted by all columns).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from hmse_spark.sources.tables import TESTDATA_TABLES  # noqa: E402
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(sql).fetchdf()
+
+
+def _normalize(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+    return pdf
+
+
+def _values_match(a, b) -> bool:
+    if a.shape != b.shape:
+        return False
+    for col in a.columns:
+        for x, y in zip(a[col].tolist(), b[col].tolist()):
+            xn = x is None or (isinstance(x, float) and math.isnan(x))
+            yn = y is None or (isinstance(y, float) and math.isnan(y))
+            if xn or yn:
+                if xn != yn:
+                    return False
+                continue
+            if isinstance(x, float) or isinstance(y, float):
+                if not math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9):
+                    return False
+            elif str(x) != str(y):
+                return False
+    return True
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, name):
+    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = _duck(ORACLES[name])
+    assert sorted(map(str.lower, spark_pdf.columns)) == sorted(
+        map(str.lower, duck_pdf.columns)
+    ), f"{name}: column mismatch {list(spark_pdf.columns)} vs {list(duck_pdf.columns)}"
+    duck_pdf.columns = [c.lower() for c in duck_pdf.columns]
+    spark_pdf.columns = [c.lower() for c in spark_pdf.columns]
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    # dtype-kind parity: a BIGINT on one side materializing as float on the
+    # other would flip the driver's repr-based value hash (seen with DuckDB
+    # HUGEINT sums) — require matching numeric kinds, not just close values
+    for col in a.columns:
+        ka, kb = a[col].dtype.kind, b[col].dtype.kind
+        assert (ka == kb) or {ka, kb} <= {"i", "u"} or {ka, kb} <= {"O", "U"}, (
+            f"{name}.{col}: dtype kind {a[col].dtype} vs {b[col].dtype}"
+        )
+    assert _values_match(a, b), f"{name}: value mismatch\nspark:\n{a.head()}\nduck:\n{b.head()}"
