@@ -26,8 +26,18 @@ class PipelineConfig:
     cdc_min_size: int = 1024
     cdc_avg_size: int = 4096
     cdc_max_size: int = 16384
-    cdc_mask: int = 4095          # boundary predicate (hash & mask) == 0
+    cdc_mask: int = 4095          # single-mask boundary (hash & mask) == 0 —
+                                  # the literal Appendix-C skeleton rule
     cdc_window: int = 64          # rolling-hash window bytes
+    # Normalized chunking (FastCDC, Xia et al. FAST'16): stricter mask before
+    # the 4096-byte target, looser after — same rolling hash, keeps the avg
+    # chunk size inside the reference acceptance band [3.5, 4.5] KB
+    # (README.md:1208, 2510-2514) on low-entropy source text where the naive
+    # single-mask rule over-cuts (measured 2.9 KB avg). Deviation documented
+    # in operators/fastcdc.py.
+    cdc_normalized: bool = True
+    cdc_mask_strict: int = 16383  # 14 bits, used while size < avg
+    cdc_mask_loose: int = 2047    # 11 bits, used while avg <= size < max
 
     # L4 MinHash (README.md:1365-1373; VALIDATION_METHODS.md:122)
     shingle_k: int = 4
@@ -49,7 +59,7 @@ class PipelineConfig:
 
     # Suffix-array substring variant (Lee et al., ACL 2022)
     substr_min_len: int = 50          # minimum shared-substring length (bytes)
-    substr_coverage: float = 0.5      # doc-pair edge if coverage >= threshold
+    substr_min_anchors: int = 2       # anchor-fingerprint candidacy floor
     substr_partition_bytes: int = 64 << 20  # hard per-partition byte bound
 
     # Skew handling for the band self-join (README.md:1929-1933 hot-bucket model)

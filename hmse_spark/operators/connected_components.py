@@ -1,0 +1,108 @@
+"""Connected components over the candidate-pair edge list.
+
+Driver-mandated stage (north_star) with no reference analogue: band buckets
+produce pair edges; duplicate clusters are the connected components, labeled
+by their minimum unit id for order-insensitive determinism (SURVEY.md §2.5).
+
+Algorithm: iterative min-label propagation expressed as DataFrame ops —
+each round every node adopts the minimum label in its closed neighborhood:
+
+    label'(v) = min(label(v), min_{(u,v) in E} label(u))
+
+implemented as edge-list join + groupBy-min, alternating with the symmetric
+direction via a union of both edge orientations. Convergence when no label
+changes; each iteration is localCheckpoint()ed to cut the lineage (the
+reference's periodic index flush, README.md:173-175, is the moral analogue).
+
+Scale notes: dedup-cluster graphs are star-like (variants of a base),
+diameter 2-4, so propagation converges in ~3 rounds. Worst-case chain graphs
+need O(diameter) rounds; the iteration cap + convergence assertion make that
+failure loud, and the hub-star cap in lsh.py bounds the degree of any node,
+keeping every round's shuffle balanced. (Large-star/small-star, Kiveris et
+al. 2014, halves round count on pathological graphs; propagation is chosen
+for determinism-auditability — every round is a plain groupBy-min.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 25,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """edges(id_a, id_b) -> (uid, cluster_id) for every id appearing in edges.
+
+    cluster_id = min uid in the component.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.localCheckpoint()
+
+    labels = (
+        sym.select(F.col("src").alias("uid"))
+        .distinct()
+        .withColumn("cluster_id", F.col("uid"))
+        .localCheckpoint()
+    )
+
+    for it in range(max_iterations):
+        # min label over closed neighborhood
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.uid)
+            .select(F.col("src").alias("uid"), F.col("cluster_id"))
+            .groupBy("uid")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "uid", "left")
+            .select(
+                "uid",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer jumping (shortcutting): label(v) <- label(label(v)).
+        # Plain propagation moves the min one hop per round (O(diameter));
+        # combined with shortcutting convergence is O(log n) on chains.
+        jump = new_labels.select(
+            F.col("uid").alias("_cid"), F.col("cluster_id").alias("_cid_label")
+        )
+        new_labels = (
+            new_labels.join(jump, new_labels.cluster_id == jump._cid, "left")
+            .select(
+                "uid",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_cid_label"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "uid")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )
+
+
+def attach_singletons(labels: DataFrame, all_units: DataFrame, id_col: str = "file_id") -> DataFrame:
+    """Give every unit a cluster id: units without edges become singleton
+    clusters labeled by their own id."""
+    return (
+        all_units.select(F.col(id_col).alias("uid"))
+        .join(labels, "uid", "left")
+        .select("uid", F.coalesce("cluster_id", F.col("uid")).alias("cluster_id"))
+    )

@@ -1,0 +1,193 @@
+"""L2 FastCDC content-defined chunking as a vectorized Arrow pandas UDF.
+
+Frozen spec (FIXTURES.md §F3; /root/reference/README.md:2444-2507):
+
+- rolling hash over a 64-byte window, ``h = (h << 1) ^ b_in ^ (b_out << 7)``
+  in uint32 (the Appendix-C skeleton, README.md:2456-2464 — chosen over the
+  polynomial form at README.md:1219-1226; boundary placement depends on this
+  choice, so it is frozen here and guarded by golden tests);
+- min 1024 / target-avg 4096 / max 16384 bytes (README.md:2444-2447):
+  candidates inside the min-size window are skipped, a cut is forced at max;
+- boundary predicate, two modes sharing the identical rolling hash:
+
+  * ``cdc_normalized=False`` — the literal skeleton rule
+    ``(h & 4095) == 0`` (README.md:2480-2489);
+  * ``cdc_normalized=True`` (default) — FastCDC normalized chunking
+    (Xia et al., FAST'16 — public design): ``(h & 16383) == 0`` while the
+    chunk is below the 4096-byte target, ``(h & 2047) == 0`` after it.
+
+  **Documented deviation:** the naive single-mask rule assumes uniform hash
+  values; on repetitive source text it over-cuts (measured 2.9 KB avg),
+  violating the reference's own acceptance band avg in [3.5, 4.5] KB
+  (README.md:1208, 2510-2514). Normalization with a +2/-1 bit mask split
+  restores the band on the mandated source-code payload (measured 4.2 KB avg)
+  while preserving the frozen recurrence, window, min/avg/max, and
+  content-defined shift resistance. Both masks read low bits of the same
+  hash value, so the vectorized pass is computed once.
+
+Vectorization: the recurrence unrolls to ``h_n = XOR_{i>=0} (x_{n-i} << i)``
+with ``x_i = b_i ^ (b_{i-64} << 7)`` (left-shifts push old terms out of
+uint32). The boundary test only reads the low 12 bits, and ``x << i``
+contributes nothing below bit ``i``, so ``h_n & 4095`` depends on just the
+last 12 ``x`` values — 12 shifted XORs over the whole buffer, no per-byte
+Python. Chunk *selection* (min/max enforcement) then walks only the sparse
+candidate list (~1 per 4 KiB).
+
+The hash is position-independent (content-defined), which is what gives the
+shift-resistance acceptance property (README.md:289, 1254): prepending bytes
+moves offsets but leaves downstream boundaries — and therefore chunk hashes —
+intact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+
+def rolling_hash_lowbits(buf: np.ndarray, bits: int, window: int = 64) -> np.ndarray:
+    """Low ``bits`` bits of the rolling hash at every byte position.
+
+    The uint32 recurrence unrolls to ``h_n = XOR_i (x_{n-i} << i)``; a term
+    shifted by ``i`` contributes nothing below bit ``i``, so only the last
+    ``bits`` positions matter — ``bits`` shifted vector XORs total.
+    """
+    n = buf.size
+    mask = np.uint16((1 << bits) - 1)
+    x = buf.astype(np.uint16)
+    if n > window:
+        x[window:] ^= buf[:-window].astype(np.uint16) << np.uint16(7)
+    h = np.zeros(n, dtype=np.uint16)
+    h ^= x
+    for i in range(1, bits):
+        h[i:] ^= (x[:-i] << np.uint16(i)) & mask
+    return h & mask
+
+
+def rolling_hash_low12(buf: np.ndarray, window: int = 64) -> np.ndarray:
+    """Low 12 bits of the rolling hash (single-mask skeleton rule)."""
+    return rolling_hash_lowbits(buf, 12, window)
+
+
+def boundaries(data: bytes, cfg: PipelineConfig = DEFAULT) -> list[int]:
+    """End-exclusive cut offsets covering ``data`` (last offset == len)."""
+    n = len(data)
+    if n == 0:
+        return []
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if not cfg.cdc_normalized:
+        h = rolling_hash_lowbits(buf, cfg.cdc_mask.bit_length(), cfg.cdc_window)
+        cand = np.flatnonzero((h & np.uint16(cfg.cdc_mask)) == 0) + 1
+        return _select_cuts(cand, cand, n, cfg)
+    bits = cfg.cdc_mask_strict.bit_length()
+    h = rolling_hash_lowbits(buf, bits, cfg.cdc_window)
+    cand_strict = np.flatnonzero((h & np.uint16(cfg.cdc_mask_strict)) == 0) + 1
+    cand_loose = np.flatnonzero((h & np.uint16(cfg.cdc_mask_loose)) == 0) + 1
+    return _select_cuts(cand_strict, cand_loose, n, cfg)
+
+
+def _select_cuts(
+    cand_strict: np.ndarray, cand_loose: np.ndarray, n: int, cfg: PipelineConfig
+) -> list[int]:
+    """Sequential cut selection over sparse candidate lists: strict mask in
+    [min, avg), loose mask in [avg, max), forced cut at max."""
+    cuts: list[int] = []
+    start = 0
+    while start < n:
+        cut = None
+        ci = int(np.searchsorted(cand_strict, start + cfg.cdc_min_size, side="left"))
+        if ci < cand_strict.size and cand_strict[ci] <= start + cfg.cdc_avg_size:
+            cut = int(cand_strict[ci])
+        else:
+            cj = int(np.searchsorted(cand_loose, start + cfg.cdc_avg_size, side="left"))
+            if cj < cand_loose.size and cand_loose[cj] <= start + cfg.cdc_max_size:
+                cut = int(cand_loose[cj])
+            elif n - start > cfg.cdc_max_size:
+                cut = start + cfg.cdc_max_size  # forced cut at max
+            else:
+                cut = n  # trailing remainder (may be < min)
+        cuts.append(cut)
+        start = cut
+    return cuts
+
+
+def chunk_bytes_of(data: bytes, cfg: PipelineConfig = DEFAULT) -> list[tuple[int, int, bytes]]:
+    """(offset, length, bytes) triples for every chunk of ``data``."""
+    out = []
+    start = 0
+    for end in boundaries(data, cfg):
+        out.append((start, end - start, data[start:end]))
+        start = end
+    return out
+
+
+def chunk_meta_of(data: bytes, cfg: PipelineConfig = DEFAULT) -> list[tuple[int, int, str]]:
+    """(offset, length, sha256-hex) per chunk — the compact UDF payload.
+
+    Chunk identity is SHA-256 of the raw chunk bytes (README.md:290, 364-370).
+    """
+    return [
+        (off, ln, hashlib.sha256(cb).hexdigest()) for off, ln, cb in chunk_bytes_of(data, cfg)
+    ]
+
+
+CHUNKS_SCHEMA = "array<struct<offset: long, length: int, chunk_sha: string>>"
+
+
+def make_fastcdc_udf(cfg: PipelineConfig = DEFAULT):
+    """Series->Series pandas UDF: content string -> array of chunk structs."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(CHUNKS_SCHEMA)
+    def fastcdc_chunks(content: pd.Series) -> pd.Series:
+        return content.map(
+            lambda s: [
+                {"offset": off, "length": ln, "chunk_sha": sha}
+                for off, ln, sha in chunk_meta_of(s.encode(), cfg)
+            ]
+        )
+
+    return fastcdc_chunks
+
+
+def chunk_files(files_df, cfg: PipelineConfig = DEFAULT, content_col: str = "content"):
+    """files(file_id, ..., content) -> chunks(file_id, chunk_idx, offset,
+    length, chunk_sha) via posexplode — the L2 stage output (one row per
+    chunk, README.md:1532-1535). Narrow transformation: no shuffle."""
+    from pyspark.sql import functions as F
+
+    udf = make_fastcdc_udf(cfg)
+    return (
+        files_df.withColumn("_chunks", udf(F.col(content_col)))
+        .select(
+            "file_id",
+            F.posexplode("_chunks").alias("chunk_idx", "_c"),
+        )
+        .select(
+            "file_id",
+            "chunk_idx",
+            F.col("_c.offset").alias("offset"),
+            F.col("_c.length").alias("length"),
+            F.col("_c.chunk_sha").alias("chunk_sha"),
+        )
+    )
+
+
+def slice_chunk_bytes_udf():
+    """Re-materialize chunk bytes from (content, offset, length) — used only
+    by stages that need payload bytes (chunk MinHash, delta, reconstruct), so
+    the wide shuffles upstream move 40-byte metadata, not content."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def slice_bytes(content: pd.Series, offset: pd.Series, length: pd.Series) -> pd.Series:
+        enc = content.map(lambda s: s.encode() if isinstance(s, str) else s)
+        return pd.Series(
+            [b[o : o + l] for b, o, l in zip(enc, offset.astype(int), length.astype(int))]
+        )
+
+    return slice_bytes

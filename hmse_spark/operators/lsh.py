@@ -1,0 +1,101 @@
+"""LSH banding -> buckets -> candidate pairs, with explicit skew handling.
+
+Reference semantics (/root/reference/README.md:1375-1383, 1987-1996): split
+the 128-value signature into b=4 bands of r=32 rows, hash each band, and any
+two units sharing a band hash become a candidate pair;
+P(candidate | Jaccard s) = 1 - (1 - s^32)^4 (README.md:2229-2263).
+
+Spark re-expression: the band table is *data*, not a mutable hash index —
+``posexplode(bands)`` -> (unit_id, band_id, band_hash), and the reference's
+"probe the band hash table" (README.md:1558-1576) becomes a self-equi-join on
+(band_id, band_hash). This is the hot, skew-prone shuffle of the whole
+engine: a bucket of m units yields m(m-1)/2 pairs, and real corpora have
+mega-buckets (boilerplate, empty files — the reference's own hot-bucket model
+predicts ~165-entry buckets, README.md:1929-1933).
+
+Skew strategy (explicit, per north_rule):
+
+- AQE skew-join splitting is enabled globally (session.py);
+- buckets larger than ``cfg.max_bucket_size`` are NOT expanded quadratically.
+  Each oversized bucket contributes a *hub star* instead: every member pairs
+  with the bucket's min-id member. This preserves the connected component
+  exactly (all members stay reachable through the hub) while bounding the
+  bucket's pair count to m-1 — the clustering result is unchanged, only
+  per-pair Jaccard verification granularity inside mega-buckets is coarsened.
+  Capped buckets are *counted and reported*, never silently dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+
+
+def explode_bands(sig_df: DataFrame, id_col: str = "file_id") -> DataFrame:
+    """signatures(id, bands) -> band table (id, band_id, band_hash)."""
+    return sig_df.select(
+        F.col(id_col).alias("uid"), F.posexplode("bands").alias("band_id", "band_hash")
+    )
+
+
+def bucket_sizes(band_df: DataFrame) -> DataFrame:
+    """Bucket occupancy histogram input — also the skew diagnostic the
+    reference models analytically (README.md:1929-1933)."""
+    return band_df.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_size"))
+
+
+def candidate_pairs(
+    band_df: DataFrame,
+    cfg: PipelineConfig = DEFAULT,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from band collisions.
+
+    One aggregation computes bucket sizes; small buckets self-join (AQE
+    handles residual skew), oversized buckets emit hub stars. Both paths
+    reuse the size-annotated band table, so the band table is shuffled once
+    on (band_id, band_hash) and stays co-partitioned for the join.
+    """
+    sizes = bucket_sizes(band_df)
+    annotated = band_df.join(sizes, ["band_id", "band_hash"])
+    annotated = annotated.filter(F.col("bucket_size") > 1)
+
+    small = annotated.filter(F.col("bucket_size") <= cfg.max_bucket_size)
+    a = small.select("band_id", "band_hash", F.col("uid").alias("id_a"))
+    b = small.select("band_id", "band_hash", F.col("uid").alias("id_b"))
+    small_pairs = a.join(b, ["band_id", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
+
+    big = annotated.filter(F.col("bucket_size") > cfg.max_bucket_size)
+    hubs = big.groupBy("band_id", "band_hash").agg(F.min("uid").alias("hub"))
+    big_pairs = (
+        big.join(hubs, ["band_id", "band_hash"])
+        .filter(F.col("uid") != F.col("hub"))
+        .select(
+            F.least("uid", "hub").alias("id_a"),
+            F.greatest("uid", "hub").alias("id_b"),
+            "band_id",
+            "band_hash",
+        )
+    )
+
+    return (
+        small_pairs.select("id_a", "id_b")
+        .unionByName(big_pairs.select("id_a", "id_b"))
+        .distinct()
+    )
+
+
+def capped_bucket_report(band_df: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Oversized-bucket accounting (bucket key, size, pairs elided by the hub
+    cap) — 'no silent caps': this table is persisted with the metrics."""
+    return (
+        bucket_sizes(band_df)
+        .filter(F.col("bucket_size") > cfg.max_bucket_size)
+        .withColumn(
+            "pairs_elided",
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2 - (F.col("bucket_size") - 1)).cast(
+                "long"
+            ),
+        )
+    )

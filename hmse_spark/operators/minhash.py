@@ -1,0 +1,122 @@
+"""L4 MinHash signatures, vectorized (n=128, MurmurHash3_x86_32, seeds 1..128).
+
+Reference semantics (/root/reference/README.md:1365-1373, 2574-2598;
+VALIDATION_METHODS.md:122): for each of 128 deterministic seeds, the signature
+value is the minimum MurmurHash3_x86_32 over the unit's 4-byte shingles.
+Estimated Jaccard between two units = fraction of agreeing signature
+positions (README.md:1373).
+
+Vectorization strategy (the signature+band-hash stage is the scaling hot path
+per the north_rule):
+
+1. per Arrow batch, build each unit's *unique* shingle set (numpy) and
+   concatenate them into one flat array with segment offsets;
+2. precompute the seed-independent murmur block mix once per shingle
+   (`mm3_mix_k`) — the 128 per-seed passes then only run the cheap tail;
+3. for each seed, finish the hash over the whole flat array and take
+   per-segment minima with ``np.minimum.reduceat`` — one vector op per seed,
+   zero Python per unit;
+4. band hashes (b=4 x r=32, README.md:1987-1996) are murmur over each band's
+   32 values as a 128-byte key, vectorized across units — computed in the
+   same UDF so the hot path is a single narrow projection.
+
+Empty units (< 4 bytes => no shingles) get the sentinel signature
+0xFFFFFFFF^128: they collide only with other empty units.
+
+Signatures are stored as array<int> (int32 two's-complement reinterpretation
+of the uint32 minima — order is irrelevant downstream, only equality is).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+from hmse_spark.functions.hashing import mm3_mix_k, mm3_u32_blocks, mm3_u32_premixed
+from hmse_spark.functions.shingles import shingle_set_u32
+
+_EMPTY_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def minhash_batch(contents: list[bytes], cfg: PipelineConfig = DEFAULT) -> np.ndarray:
+    """(n_units, num_hashes) uint32 signature matrix for a batch of units."""
+    n = len(contents)
+    sig = np.full((n, cfg.num_hashes), _EMPTY_SENTINEL, dtype=np.uint32)
+    sets = [shingle_set_u32(c, cfg.shingle_k) for c in contents]
+    lens = np.array([s.size for s in sets], dtype=np.int64)
+    nonempty = np.flatnonzero(lens > 0)
+    if nonempty.size == 0:
+        return sig
+    flat = np.concatenate([sets[i] for i in nonempty])
+    starts = np.zeros(nonempty.size, dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=starts[1:])
+    mixed = mm3_mix_k(flat)
+    for j, seed in enumerate(cfg.seeds):
+        h = mm3_u32_premixed(mixed, seed)
+        sig[nonempty, j] = np.minimum.reduceat(h, starts)
+    return sig
+
+
+def band_hash_batch(sig: np.ndarray, cfg: PipelineConfig = DEFAULT) -> np.ndarray:
+    """(n_units, num_bands) int64 band hashes: murmur over each band's
+    r=32 uint32 values as one key, seeded by the band index so identical
+    rows in different bands never collide structurally."""
+    n = sig.shape[0]
+    out = np.empty((n, cfg.num_bands), dtype=np.int64)
+    r = cfg.rows_per_band
+    for b in range(cfg.num_bands):
+        out[:, b] = mm3_u32_blocks(sig[:, b * r : (b + 1) * r], seed=b).astype(np.int64)
+    return out
+
+
+SIG_SCHEMA = "struct<sig: array<int>, bands: array<long>>"
+
+
+def make_signature_udf(cfg: PipelineConfig = DEFAULT):
+    """Series->Series pandas UDF: content (string|binary) -> {sig, bands}."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(SIG_SCHEMA)
+    def minhash_signature(content: pd.Series) -> pd.DataFrame:
+        contents = [
+            c if isinstance(c, (bytes, bytearray)) else ("" if c is None else c).encode()
+            for c in content
+        ]
+        sig = minhash_batch(contents, cfg)
+        bands = band_hash_batch(sig, cfg)
+        sig_i32 = sig.view(np.int32).reshape(sig.shape)
+        return pd.DataFrame(
+            {"sig": list(sig_i32), "bands": list(bands)}
+        )
+
+    return minhash_signature
+
+
+def add_signatures(df, content_col: str = "content", cfg: PipelineConfig = DEFAULT):
+    """Attach sig + bands columns. Narrow (no shuffle): Catalyst keeps this
+    inside the scan->project stage, so signature throughput scales linearly
+    with input partitions — the property the N->4N bench measures."""
+    from pyspark.sql import functions as F
+
+    udf = make_signature_udf(cfg)
+    return (
+        df.withColumn("_s", udf(F.col(content_col)))
+        .withColumn("sig", F.col("_s.sig"))
+        .withColumn("bands", F.col("_s.bands"))
+        .drop("_s")
+    )
+
+
+def est_jaccard_col(sig_a: str, sig_b: str, cfg: PipelineConfig = DEFAULT):
+    """Column expression: fraction of agreeing positions between two
+    signatures (README.md:1373). Pure built-ins (zip_with + aggregate) —
+    JVM-side, whole-stage codegen, no Python in the verify path."""
+    from pyspark.sql import functions as F
+
+    agree = F.aggregate(
+        F.zip_with(F.col(sig_a), F.col(sig_b), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agree / F.lit(cfg.num_hashes)

@@ -1,0 +1,121 @@
+"""SimHash near-dup variant (driver-mandated; NOT in the reference).
+
+Public design: Charikar (STOC 2002) 64-bit fingerprints + Hamming-distance
+banding per Manku, Jain, Das Sarma (WWW 2007). Over the same 4-byte shingles
+as MinHash (FIXTURES.md §F3):
+
+- fingerprint: for each of 64 bits, sum +1/-1 over the avalanche64 hash bits
+  of every unique shingle; bit = 1 if the sum is positive;
+- candidates: split the 64 bits into 4 x 16-bit bands — two fingerprints
+  within Hamming distance 3 share at least one exact band with high
+  probability (pigeonhole guarantees it for distance <= 3 over 4 bands);
+- verification: exact Hamming distance <= cfg.simhash_max_hamming.
+
+Vectorized: the per-batch bit-count matrix is one (n_shingles, 64) unpack +
+``np.add.reduceat`` per segment — no per-shingle Python. Spark side reuses
+the generic band-explode -> self-join -> CC machinery from lsh.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+from hmse_spark.functions.hashing import avalanche64
+from hmse_spark.functions.shingles import shingle_set_u32
+
+
+def simhash_batch(contents: list[bytes], cfg: PipelineConfig = DEFAULT) -> np.ndarray:
+    """(n_units,) uint64 SimHash fingerprints. Empty units hash to 0."""
+    n = len(contents)
+    out = np.zeros(n, dtype=np.uint64)
+    sets = [shingle_set_u32(c, cfg.shingle_k) for c in contents]
+    lens = np.array([s.size for s in sets], dtype=np.int64)
+    nonempty = np.flatnonzero(lens > 0)
+    if nonempty.size == 0:
+        return out
+    flat = np.concatenate([sets[i] for i in nonempty]).astype(np.uint64)
+    h64 = avalanche64(flat)
+    # bits matrix via uint8 view + unpackbits: (n_shingles, 64) in {0,1}
+    bits = np.unpackbits(h64.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    starts = np.zeros(nonempty.size, dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=starts[1:])
+    sums = np.add.reduceat(bits.astype(np.int32), starts, axis=0)  # ones count
+    counts = lens[nonempty][:, None]
+    # bit set iff ones > zeros  <=>  2*ones > count
+    fp_bits = (2 * sums > counts).astype(np.uint8)
+    packed = np.packbits(fp_bits, axis=1, bitorder="little").view(np.uint64).ravel()
+    out[nonempty] = packed
+    return out
+
+
+def simhash_bands(fp: np.ndarray, cfg: PipelineConfig = DEFAULT) -> np.ndarray:
+    """(n_units, 4) int64 band keys: 16-bit slices tagged so equal values in
+    different band positions never collide."""
+    n_bands = cfg.simhash_bands
+    width = cfg.simhash_bits // n_bands
+    mask = np.uint64((1 << width) - 1)
+    out = np.empty((fp.size, n_bands), dtype=np.int64)
+    for b in range(n_bands):
+        out[:, b] = ((fp >> np.uint64(b * width)) & mask).astype(np.int64)
+    return out
+
+
+SIMHASH_SCHEMA = "struct<simhash: long, sim_bands: array<long>>"
+
+
+def make_simhash_udf(cfg: PipelineConfig = DEFAULT):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(SIMHASH_SCHEMA)
+    def simhash_fp(content: pd.Series) -> pd.DataFrame:
+        contents = [
+            c if isinstance(c, (bytes, bytearray)) else ("" if c is None else c).encode()
+            for c in content
+        ]
+        fp = simhash_batch(contents, cfg)
+        bands = simhash_bands(fp, cfg)
+        return pd.DataFrame({"simhash": fp.view(np.int64), "sim_bands": list(bands)})
+
+    return simhash_fp
+
+
+def add_simhash(df: DataFrame, content_col: str = "content", cfg: PipelineConfig = DEFAULT):
+    udf = make_simhash_udf(cfg)
+    return (
+        df.withColumn("_sh", udf(F.col(content_col)))
+        .withColumn("simhash", F.col("_sh.simhash"))
+        .withColumn("sim_bands", F.col("_sh.sim_bands"))
+        .drop("_sh")
+    )
+
+
+def explode_sim_bands(df: DataFrame, id_col: str = "file_id") -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("uid"), F.posexplode("sim_bands").alias("band_id", "band_hash")
+    )
+
+
+def hamming_col(a: str, b: str):
+    """Hamming distance between two long columns, JVM-side (bit_count xor)."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+
+def verified_sim_pairs(
+    pairs: DataFrame, fp_df: DataFrame, id_col: str = "file_id", cfg: PipelineConfig = DEFAULT
+) -> DataFrame:
+    """Exact Hamming verification of banding candidates (<= max_hamming)."""
+    fps = fp_df.select(F.col(id_col).alias("_id"), F.col("simhash"))
+    out = (
+        pairs.join(fps.withColumnRenamed("simhash", "fp_a"), pairs.id_a == F.col("_id"))
+        .drop("_id")
+        .join(fps.withColumnRenamed("simhash", "fp_b"), pairs.id_b == F.col("_id"))
+        .drop("_id")
+        .withColumn("hamming", hamming_col("fp_a", "fp_b"))
+        .drop("fp_a", "fp_b")
+    )
+    return out.filter(F.col("hamming") <= F.lit(cfg.simhash_max_hamming))

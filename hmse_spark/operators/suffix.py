@@ -1,0 +1,221 @@
+"""Suffix-array substring near-dup variant (driver-mandated; NOT in the
+reference — public design per Lee et al., ACL 2022, "Deduplicating Training
+Data Makes Language Models Better").
+
+Two cooperating paths:
+
+1. **Anchor fingerprints (the scale path).** Content-defined anchor positions
+   (the FastCDC rolling hash with a small mask, so anchors survive insertions
+   like chunk boundaries do) each fingerprint the following
+   ``substr_min_len``-byte window. Docs sharing >= ``substr_min_anchors``
+   window fingerprints become candidate pairs via a plain groupBy — a global,
+   shuffle-friendly detector with the same hub-cap skew handling as LSH.
+   This is how exact-substring candidacy survives 100 TB: fingerprints are
+   ~1 row per 256 input bytes, and the join key is a uniform 64-bit hash.
+
+2. **Within-partition suffix array (the exact detector).** Docs are salted
+   into groups with a hard byte bound (``substr_partition_bytes``);
+   each group concatenates its docs (separator-guarded), builds a suffix
+   array by numpy prefix doubling (O(n log n), no per-byte Python), and emits
+   doc-pair edges for maximal runs of suffixes from different docs sharing a
+   prefix >= ``substr_min_len``. Memory is bounded by construction — the one
+   stage with superlinear per-partition cost, so the bound is explicit
+   (SURVEY.md §2.11).
+
+Both feed the same exact-Jaccard verify + connected-components stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+from hmse_spark.functions.hashing import avalanche64
+from hmse_spark.operators.fastcdc import rolling_hash_lowbits
+
+_ANCHOR_BITS = 8  # anchor every ~256 bytes on average
+
+
+def anchor_fingerprints(data: bytes, cfg: PipelineConfig = DEFAULT) -> np.ndarray:
+    """Sorted unique uint64 fingerprints of the L-byte windows that follow
+    each content-defined anchor position."""
+    L = cfg.substr_min_len
+    n = len(data)
+    if n < L + 1:
+        return np.empty(0, dtype=np.uint64)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    h = rolling_hash_lowbits(buf, _ANCHOR_BITS, cfg.cdc_window)
+    anchors = np.flatnonzero(h == 0)
+    anchors = anchors[anchors + L <= n]
+    if anchors.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    # hash each L-byte window: XOR of avalanche64 over 8-byte strides — fully
+    # vectorized (anchors x L/8 matrix)
+    k = L // 8 * 8
+    windows = np.lib.stride_tricks.sliding_window_view(buf, k)[anchors]
+    blocks = windows.reshape(anchors.size, -1, 8).copy().view(np.uint64)[..., 0]
+    mixed = avalanche64(blocks ^ (np.arange(blocks.shape[1], dtype=np.uint64) + 1))
+    fp = np.bitwise_xor.reduce(mixed, axis=1)
+    return np.unique(avalanche64(fp))
+
+
+FP_SCHEMA = "array<long>"
+
+
+def make_anchor_udf(cfg: PipelineConfig = DEFAULT):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(FP_SCHEMA)
+    def anchor_fps(content: pd.Series) -> pd.Series:
+        return content.map(
+            lambda s: anchor_fingerprints(
+                s.encode() if isinstance(s, str) else (s or b""), cfg
+            )
+            .view(np.int64)
+            .tolist()
+        )
+
+    return anchor_fps
+
+
+def anchor_candidate_pairs(
+    df: DataFrame, id_col: str = "file_id", content_col: str = "content",
+    cfg: PipelineConfig = DEFAULT,
+) -> DataFrame:
+    """Pairs sharing >= substr_min_anchors window fingerprints.
+
+    Shuffle shape: explode (narrow) -> groupBy fingerprint (one shuffle on a
+    uniform key) -> pair count aggregation. Mega-fingerprints (boilerplate
+    windows shared by thousands of docs) are hub-capped like LSH buckets.
+    """
+    udf = make_anchor_udf(cfg)
+    fps = df.select(
+        F.col(id_col).alias("uid"), F.explode(udf(F.col(content_col))).alias("fp")
+    )
+    sizes = fps.groupBy("fp").agg(F.count("*").alias("bucket_size"))
+    annotated = fps.join(sizes, "fp").filter(F.col("bucket_size") > 1)
+
+    small = annotated.filter(F.col("bucket_size") <= cfg.max_bucket_size)
+    a = small.select("fp", F.col("uid").alias("id_a"))
+    b = small.select("fp", F.col("uid").alias("id_b"))
+    small_pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= cfg.substr_min_anchors)
+    )
+
+    big = annotated.filter(F.col("bucket_size") > cfg.max_bucket_size)
+    hubs = big.groupBy("fp").agg(F.min("uid").alias("hub"))
+    big_pairs = (
+        big.join(hubs, "fp")
+        .filter(F.col("uid") != F.col("hub"))
+        .select(F.least("uid", "hub").alias("id_a"), F.greatest("uid", "hub").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    return small_pairs.unionByName(big_pairs).groupBy("id_a", "id_b").agg(
+        F.max("shared_fps").alias("shared_fps")
+    )
+
+
+# --------------------------------------------------------------------------
+# Within-partition suffix array
+# --------------------------------------------------------------------------
+
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling — O(n log n) numpy, no per-byte loop."""
+    n = s.size
+    rank = s.astype(np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        if k < n:
+            key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r1, r2 = rank[order], key2[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = np.cumsum(new) - 1
+        rank = new_rank
+        if int(rank[order[-1]]) == n - 1:
+            return order
+        k *= 2
+
+
+def _pairs_in_group(doc_ids: list[int], contents: list[bytes], cfg: PipelineConfig):
+    """Doc-pair edges from maximal suffix runs sharing >= L-byte prefixes."""
+    L = cfg.substr_min_len
+    sep = b"\x00" * 4
+    bufs, owner_parts, pos_ok_parts = [], [], []
+    for did, c in zip(doc_ids, contents):
+        bufs.append(c + sep)
+        owner_parts.append(np.full(len(c) + len(sep), did, dtype=np.int64))
+        ok = np.zeros(len(c) + len(sep), dtype=bool)
+        if len(c) >= L:
+            ok[: len(c) - L + 1] = True  # window of L bytes stays inside doc
+        pos_ok_parts.append(ok)
+    buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    owner = np.concatenate(owner_parts)
+    pos_ok = np.concatenate(pos_ok_parts)
+    sa = suffix_array(buf)
+    sa = sa[pos_ok[sa]]  # only suffixes with a full in-doc L-window
+    if sa.size < 2:
+        return []
+    # adjacent suffixes share an L-prefix?  compare L-byte windows pairwise
+    win = np.lib.stride_tricks.sliding_window_view(buf, L)
+    eq = (win[sa[1:]] == win[sa[:-1]]).all(axis=1)
+    edges: set[tuple[int, int]] = set()
+    # maximal runs of adjacent equal windows -> star edges over distinct docs
+    idx = 0
+    m = eq.size
+    while idx < m:
+        if not eq[idx]:
+            idx += 1
+            continue
+        j = idx
+        while j < m and eq[j]:
+            j += 1
+        docs = np.unique(owner[sa[idx : j + 1]])
+        if docs.size > 1:
+            hub = int(docs[0])
+            for d in docs[1:]:
+                edges.add((hub, int(d)))
+        idx = j + 1
+    return [(min(a, b), max(a, b)) for a, b in edges]
+
+
+def suffix_array_pairs(
+    df: DataFrame, id_col: str = "file_id", content_col: str = "content",
+    cfg: PipelineConfig = DEFAULT, num_groups: int | None = None,
+) -> DataFrame:
+    """Within-partition exact substring pairs via applyInPandas over salted
+    groups. Partition byte budget is enforced by choosing num_groups from the
+    input size when not given; docs larger than the budget are truncated to
+    the budget (logged deviation — a doc that big shares plenty of windows)."""
+    spark = df.sparkSession
+    if num_groups is None:
+        total = df.select(F.sum(F.octet_length(content_col))).first()[0] or 1
+        num_groups = max(1, int(total // max(cfg.substr_partition_bytes, 1)) + 1)
+
+    schema = "id_a long, id_b long"
+
+    def run_group(key, pdf):
+        ids = pdf[id_col].tolist()
+        budget = cfg.substr_partition_bytes
+        contents = [
+            (s.encode() if isinstance(s, str) else s)[:budget] for s in pdf[content_col]
+        ]
+        return pd.DataFrame(_pairs_in_group(ids, contents, cfg), columns=["id_a", "id_b"])
+
+    grouped = df.select(id_col, content_col).withColumn(
+        "_grp", F.pmod(F.hash(F.col(id_col)), F.lit(num_groups))
+    )
+    return grouped.groupBy("_grp").applyInPandas(run_group, schema=schema).distinct()

@@ -1,0 +1,88 @@
+"""Similarity verification of candidate pairs.
+
+Reference semantics (/root/reference/README.md:373-377, 1359-1373): on an LSH
+match, estimate Jaccard as the fraction of agreeing MinHash positions; the
+high-confidence regime is s >= 0.85.
+
+Spark: join the candidate pairs back to the signature table twice (shuffle
+equi-joins on the unit id — uniform keys, no skew) and evaluate the agreement
+fraction with built-in zip_with/aggregate, entirely JVM-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+from hmse_spark.operators.minhash import est_jaccard_col
+
+
+def verified_pairs(
+    pairs: DataFrame,
+    sig_df: DataFrame,
+    id_col: str = "file_id",
+    cfg: PipelineConfig = DEFAULT,
+    threshold: float | None = None,
+) -> DataFrame:
+    """pairs(id_a, id_b) x signatures -> (id_a, id_b, est_jaccard) filtered to
+    est_jaccard >= threshold."""
+    threshold = cfg.jaccard_threshold if threshold is None else threshold
+    sigs = sig_df.select(F.col(id_col).alias("_id"), F.col("sig"))
+    out = (
+        pairs.join(sigs.withColumnRenamed("sig", "sig_a"), pairs.id_a == F.col("_id"))
+        .drop("_id")
+        .join(sigs.withColumnRenamed("sig", "sig_b"), pairs.id_b == F.col("_id"))
+        .drop("_id")
+        .withColumn("est_jaccard", est_jaccard_col("sig_a", "sig_b", cfg))
+        .drop("sig_a", "sig_b")
+    )
+    return out.filter(F.col("est_jaccard") >= F.lit(threshold))
+
+
+def exact_verified_pairs(
+    pairs: DataFrame,
+    units: DataFrame,
+    id_col: str = "file_id",
+    content_col: str = "content",
+    cfg: PipelineConfig = DEFAULT,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Exact 4-gram Jaccard verification (vectorized pandas UDF).
+
+    The candidate set is tiny relative to the corpus (banding already did the
+    pruning), so joining content back for exact verification costs two
+    narrow-ish equi-joins and gives a *deterministic, estimator-noise-free*
+    edge set: a pair is an edge iff true Jaccard >= threshold — the same
+    definition the ground truth uses, which is what makes >= 0.99 recall
+    measurable rather than statistical."""
+    from pyspark.sql.functions import pandas_udf
+
+    from hmse_spark.functions.shingles import jaccard_4gram
+
+    threshold = cfg.jaccard_threshold if threshold is None else threshold
+
+    @pandas_udf("double")
+    def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                jaccard_4gram(
+                    x.encode() if isinstance(x, str) else (x or b""),
+                    y.encode() if isinstance(y, str) else (y or b""),
+                )
+                for x, y in zip(a, b)
+            ]
+        )
+
+    cont = units.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_content"))
+    out = (
+        pairs.join(cont.withColumnRenamed("_content", "content_a"), pairs.id_a == F.col("_id"))
+        .drop("_id")
+        .join(cont.withColumnRenamed("_content", "content_b"), pairs.id_b == F.col("_id"))
+        .drop("_id")
+        .withColumn("jaccard", jaccard_udf(F.col("content_a"), F.col("content_b")))
+        .drop("content_a", "content_b")
+    )
+    return out.filter(F.col("jaccard") >= F.lit(threshold))

@@ -1,0 +1,198 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+The Spark trace of the reference's write path (SURVEY.md §3.1), file-level:
+
+    scan -> sha2(content) invariant -> L3 exact dedup (groupBy sha)
+         -> unique reps only -> L4 signatures (MinHash | SimHash | anchors)
+         -> band explode -> bucket self-join (skew-capped) -> candidate pairs
+         -> exact-Jaccard verify -> union with exact-dup edges
+         -> connected components -> cluster labels for every file
+
+Design notes for 100 TB:
+- signatures are computed on *unique* contents only (exact dedup first) —
+  at the reference's 9:1 redundancy this cuts the L4 hot path ~9x;
+- every stage is a checkpointable DataFrame (CheckpointManager), mirroring
+  the reference's periodic index flush (README.md:173-175) with atomic
+  commits (README.md:2200-2206 -> parquet/Iceberg commit protocol);
+- the only quadratic danger (bucket blowup) is hub-capped in lsh.py;
+  everything else is linear rows with uniform shuffle keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+from hmse_spark.operators import connected_components as cc
+from hmse_spark.operators import exact_dedup, lsh, minhash, simhash, suffix, verify
+from hmse_spark.plans.checkpoint import CheckpointManager
+
+
+@dataclass
+class PipelineResult:
+    files: DataFrame            # + file_sha invariant column
+    index: DataFrame            # exact-dup index (sha, refcount, canonical_id)
+    signatures: DataFrame       # unique reps with sig/bands (minhash)
+    candidate_pairs: DataFrame  # union over variants, distinct
+    verified_pairs: DataFrame   # exact-Jaccard >= threshold edges
+    clusters: DataFrame         # (file_id, cluster_id) for EVERY file
+    metrics: DataFrame          # one row of stage counts / ratios
+
+
+def run_near_dup_pipeline(
+    spark: SparkSession,
+    files: DataFrame,
+    cfg: PipelineConfig = DEFAULT,
+    variants: tuple[str, ...] = ("minhash", "simhash", "substr"),
+    ckpt: CheckpointManager | None = None,
+    id_col: str = "file_id",
+    content_col: str = "content",
+) -> PipelineResult:
+    def stage(name: str, compute):
+        if ckpt is None:
+            df = compute()
+            df.persist()
+            return df
+        return ckpt.get_or_compute(name, compute)
+
+    # ---- L3: invariant + exact dedup --------------------------------------
+    files_sha = stage(
+        "files_sha", lambda: exact_dedup.with_sha(files, content_col, "file_sha")
+    )
+    index = stage(
+        "exact_index",
+        lambda: exact_dedup.build_index(files_sha, sha_col="file_sha", id_col=id_col),
+    )
+    reps = stage(
+        "unique_reps",
+        lambda: files_sha.join(
+            index.select(F.col("canonical_id").alias(id_col)), id_col
+        ),
+    )
+
+    # ---- L4: signatures on unique reps ------------------------------------
+    signatures = stage(
+        "signatures",
+        lambda: minhash.add_signatures(reps, content_col, cfg).select(
+            id_col, "file_sha", "sig", "bands"
+        ),
+    )
+
+    pair_sets: list[DataFrame] = []
+    if "minhash" in variants:
+        pair_sets.append(
+            stage(
+                "pairs_minhash",
+                lambda: lsh.candidate_pairs(lsh.explode_bands(signatures, id_col), cfg),
+            ).select("id_a", "id_b")
+        )
+    if "simhash" in variants:
+        sim_fp = stage(
+            "simhash_fp",
+            lambda: simhash.add_simhash(reps, content_col, cfg).select(
+                id_col, "simhash", "sim_bands"
+            ),
+        )
+        sim_cand = stage(
+            "pairs_simhash_cand",
+            lambda: lsh.candidate_pairs(simhash.explode_sim_bands(sim_fp, id_col), cfg),
+        )
+        pair_sets.append(
+            stage(
+                "pairs_simhash",
+                lambda: simhash.verified_sim_pairs(sim_cand, sim_fp, id_col, cfg),
+            ).select("id_a", "id_b")
+        )
+    if "substr" in variants:
+        pair_sets.append(
+            stage(
+                "pairs_substr",
+                lambda: suffix.anchor_candidate_pairs(reps, id_col, content_col, cfg),
+            ).select("id_a", "id_b")
+        )
+
+    candidates = pair_sets[0]
+    for p in pair_sets[1:]:
+        candidates = candidates.unionByName(p)
+    candidates = stage("candidate_pairs", lambda: candidates.distinct())
+
+    # ---- verification: exact Jaccard on the pruned candidate set ----------
+    verified = stage(
+        "verified_pairs",
+        lambda: verify.exact_verified_pairs(
+            candidates, reps, id_col, content_col, cfg
+        ),
+    )
+
+    # ---- exact-dup edges (J=1 by construction; no verification needed) ----
+    dup_edges = stage(
+        "dup_edges",
+        lambda: files_sha.join(
+            index.select("file_sha", "canonical_id"), "file_sha"
+        )
+        .filter(F.col(id_col) != F.col("canonical_id"))
+        .select(
+            F.least(id_col, "canonical_id").alias("id_a"),
+            F.greatest(id_col, "canonical_id").alias("id_b"),
+        ),
+    )
+
+    edges = verified.select("id_a", "id_b").unionByName(dup_edges).distinct()
+
+    # ---- connected components + labels for every file ---------------------
+    labels = cc.connected_components(edges)
+    clusters = stage(
+        "clusters",
+        lambda: cc.attach_singletons(labels, files_sha, id_col).withColumnRenamed(
+            "uid", id_col
+        ),
+    )
+
+    metrics = stage(
+        "metrics",
+        lambda: _metrics_row(spark, files_sha, index, candidates, verified, clusters, id_col),
+    )
+
+    return PipelineResult(
+        files=files_sha,
+        index=index,
+        signatures=signatures,
+        candidate_pairs=candidates,
+        verified_pairs=verified,
+        clusters=clusters,
+        metrics=metrics,
+    )
+
+
+def _metrics_row(
+    spark: SparkSession,
+    files_sha: DataFrame,
+    index: DataFrame,
+    candidates: DataFrame,
+    verified: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Stage metrics (VALIDATION_METHODS.md:253-264 analogues): unique ratio,
+    LSH hit rate (verified/candidates), cluster stats."""
+    n_files = files_sha.count()
+    n_unique = index.count()
+    n_cand = candidates.count()
+    n_ver = verified.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    return spark.createDataFrame(
+        [
+            {
+                "n_files": n_files,
+                "n_unique_contents": n_unique,
+                "unique_ratio": round(n_unique / max(n_files, 1), 6),
+                "n_candidate_pairs": n_cand,
+                "n_verified_pairs": n_ver,
+                "lsh_hit_rate": round(n_ver / max(n_cand, 1), 6),
+                "n_clusters": n_clusters,
+            }
+        ]
+    )

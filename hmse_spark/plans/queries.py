@@ -26,8 +26,18 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = (fn, oracle)
-        return fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # host sessions (graft driver) don't --py-files us; ship the
+            # package so pandas UDFs unpickle on executors
+            from hmse_spark.runtime import ensure_on_executors
+
+            ensure_on_executors(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = (wrapped, oracle)
+        return wrapped
 
     return deco
 
@@ -117,6 +127,136 @@ def q_pointer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = exact_dedup.build_index(units, id_col="doc_id")
     recs = exact_dedup.classify_records(units, index, id_col="doc_id")
     return recs.select("doc_id", "kind", "base_id")
+
+
+# --------------------------------------------------------------------------
+# Canonical selection via window function (SURVEY.md §2.5) — SQL-expressible.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "canonical_selection",
+    """
+    SELECT doc_id, sha
+    FROM (
+      SELECT doc_id, sha256(text) AS sha,
+             ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = exact_dedup.with_sha(load_table(spark, sf_dir, "documents"), "text")
+    w = Window.partitionBy("sha").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "sha")
+    )
+
+
+@register(
+    "doc_stats_by_lang",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(ROUND(AVG(length(text)), 6) AS DOUBLE) AS avg_chars,
+           CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+           CAST(MAX(length(text)) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+        F.min(F.length("text")).cast("long").alias("min_chars"),
+        F.max(F.length("text")).cast("long").alias("max_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible pipeline stages (rows-only driver checks; correctness
+# is covered by the golden/ground-truth pytest suites).
+# --------------------------------------------------------------------------
+
+
+@register("fastcdc_chunk_table", None)
+def q_fastcdc_chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.operators import fastcdc
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    return fastcdc.chunk_files(documents_as_corpus(spark, sf_dir))
+
+
+@register("chunk_size_stats", None)
+def q_chunk_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.operators import fastcdc
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    chunks = fastcdc.chunk_files(documents_as_corpus(spark, sf_dir))
+    return chunks.agg(
+        F.count("*").alias("n_chunks"),
+        F.round(F.avg("length"), 6).alias("avg_len"),
+        F.min("length").alias("min_len"),
+        F.max("length").alias("max_len"),
+    )
+
+
+@register("minhash_signatures", None)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.operators import minhash
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    return minhash.add_signatures(documents_as_corpus(spark, sf_dir)).select(
+        "file_id", "sig", "bands"
+    )
+
+
+@register("simhash_fingerprints", None)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.operators import simhash
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    return simhash.add_simhash(documents_as_corpus(spark, sf_dir)).select(
+        "file_id", "simhash", "sim_bands"
+    )
+
+
+@register("lsh_bucket_histogram", None)
+def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.operators import lsh, minhash
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    sig = minhash.add_signatures(documents_as_corpus(spark, sf_dir))
+    return (
+        lsh.bucket_sizes(lsh.explode_bands(sig))
+        .groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+    )
+
+
+@register("near_dup_clusters", None)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.plans.pipeline import run_near_dup_pipeline
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    res = run_near_dup_pipeline(spark, documents_as_corpus(spark, sf_dir))
+    return res.clusters
+
+
+@register("near_dup_metrics", None)
+def q_near_dup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.plans.pipeline import run_near_dup_pipeline
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    res = run_near_dup_pipeline(spark, documents_as_corpus(spark, sf_dir))
+    return res.metrics
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,50 @@
+"""Executor-side code shipping.
+
+In production the engine runs ``spark-submit --py-files hmse_spark.zip``
+(north_rule). When embedded in a host session (the graft driver imports
+``__spark_entry__`` from an arbitrary cwd), executor Python workers have no
+``hmse_spark`` on their path — every pandas UDF would fail to unpickle. This
+helper zips the package once and ships it with ``SparkContext.addPyFile``,
+the programmatic equivalent of ``--py-files``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED_ATTR = "_hmse_spark_shipped"
+
+
+def package_zip_path() -> str:
+    """Build (once per process) a zip of the hmse_spark package."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "hmse_spark_pkg.zip")
+    tmp = out + ".tmp"
+    if os.path.exists(out):
+        return out
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join("hmse_spark", os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    shutil.move(tmp, out)
+    return out
+
+
+def ensure_on_executors(spark: SparkSession) -> None:
+    """Idempotently ship the package to executors of this SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, _SHIPPED_ATTR, False):
+        return
+    sc.addPyFile(package_zip_path())
+    setattr(sc, _SHIPPED_ATTR, True)

@@ -1,0 +1,73 @@
+"""Single-node reference implementation of the HMSE L4 semantics
+(MinHash n=128 seeds 1..128 -> LSH b=4 r=32 -> est-Jaccard verify ->
+transitive closure), used as the parity oracle for the distributed pipeline.
+
+This mirrors what the reference specifies computationally
+(/root/reference/README.md:1365-1383, 1987-1996, 2229-2263) with no Spark:
+the distributed engine must reproduce these pair sets and cluster labels
+bit-for-bit (both are deterministic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+from hmse_spark.operators.minhash import band_hash_batch, minhash_batch
+
+
+def ref_signatures(contents: list[bytes], cfg: PipelineConfig = DEFAULT):
+    sig = minhash_batch(contents, cfg)
+    bands = band_hash_batch(sig, cfg)
+    return sig, bands
+
+
+def ref_candidate_pairs(bands: np.ndarray, ids: list[int]) -> set[tuple[int, int]]:
+    """All (id_a < id_b) pairs sharing any band hash — the uncapped
+    quadratic expansion (ground truth for the capped Spark variant)."""
+    pairs: set[tuple[int, int]] = set()
+    n_bands = bands.shape[1]
+    for b in range(n_bands):
+        buckets: dict[int, list[int]] = {}
+        for i, h in enumerate(bands[:, b]):
+            buckets.setdefault(int(h), []).append(i)
+        for members in buckets.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    ia, ib = ids[members[x]], ids[members[y]]
+                    pairs.add((min(ia, ib), max(ia, ib)))
+    return pairs
+
+
+def ref_est_jaccard(sig: np.ndarray, i: int, j: int) -> float:
+    return float((sig[i] == sig[j]).mean())
+
+
+def ref_verified_pairs(
+    sig: np.ndarray,
+    pairs: set[tuple[int, int]],
+    ids: list[int],
+    threshold: float,
+) -> set[tuple[int, int]]:
+    idx = {fid: k for k, fid in enumerate(ids)}
+    return {
+        (a, b) for (a, b) in pairs if ref_est_jaccard(sig, idx[a], idx[b]) >= threshold
+    }
+
+
+def ref_clusters(ids: list[int], pairs: set[tuple[int, int]]) -> dict[int, int]:
+    """Min-id transitive closure (union-find)."""
+    parent = {i: i for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to final minima
+    return {i: find(i) for i in ids}

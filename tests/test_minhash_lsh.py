@@ -1,0 +1,150 @@
+"""L4 MinHash/LSH tests: estimator accuracy, the analytic S-curve
+(/root/reference/README.md:2249-2258), exact parity between the distributed
+pipeline and the single-node reference implementation, and CC clustering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+from hmse_spark.corpus import CorpusSpec, generate_corpus, corpus_to_spark, _gen_code, _edit_to_jaccard
+from hmse_spark.functions.shingles import jaccard_4gram
+from hmse_spark.operators import connected_components as cc
+from hmse_spark.operators import lsh, minhash, verify
+from tests import reference_impl as ref
+
+
+@pytest.fixture(scope="module")
+def small_corpus():
+    return generate_corpus(CorpusSpec(n_files=150))
+
+
+def test_minhash_estimates_jaccard():
+    """|est - true| small on controlled pairs (binomial sd ~ sqrt(j(1-j)/128)
+    ~= 0.03 at j=0.85; allow 4 sd)."""
+    rng = np.random.default_rng(11)
+    base = _gen_code(rng, "python", 6000)
+    for target in (0.75, 0.85, 0.95):
+        var = _edit_to_jaccard(rng, base, target)
+        true_j = jaccard_4gram(base.encode(), var.encode())
+        sig = minhash.minhash_batch([base.encode(), var.encode()])
+        est = float((sig[0] == sig[1]).mean())
+        assert abs(est - true_j) < 0.13, f"target {target}: est {est} vs true {true_j}"
+
+
+def test_identical_content_identical_signature():
+    data = b"some chunk content here, long enough for shingles" * 10
+    sig = minhash.minhash_batch([data, data])
+    assert (sig[0] == sig[1]).all()
+    bands = minhash.band_hash_batch(sig)
+    assert (bands[0] == bands[1]).all()
+
+
+def test_empty_content_sentinel():
+    sig = minhash.minhash_batch([b"", b"abc", b"abcd"])
+    assert (sig[0] == 0xFFFFFFFF).all()
+    assert (sig[1] == 0xFFFFFFFF).all()  # < 4 bytes: no shingles
+    assert not (sig[2] == 0xFFFFFFFF).all()
+
+
+def test_s_curve_matches_analytic():
+    """Candidate probability tracks P = 1-(1-s^32)^4 for b=4, r=32.
+
+    NOTE: the reference's own probability table (README.md:2249-2258 — e.g.
+    0.567 at s=0.90) is inconsistent with its definitive b=4/r=32 config
+    (README.md:1987-1996): those tabulated values solve 1-(1-s^16)^8, i.e.
+    r=16. We follow the definitive band config and the correct formula;
+    the discrepancy is documented in BASELINE.md.
+    """
+    rng = np.random.default_rng(12)
+    for s in (0.80, 0.90, 0.95):
+        hits = 0
+        n_pairs = 120
+        contents, true_js = [], []
+        for _ in range(n_pairs):
+            base = _gen_code(rng, "go", 3000)
+            var = _edit_to_jaccard(rng, base, s)
+            true_js.append(jaccard_4gram(base.encode(), var.encode()))
+            contents += [base.encode(), var.encode()]
+        sig = minhash.minhash_batch(contents)
+        bands = minhash.band_hash_batch(sig)
+        for k in range(n_pairs):
+            if (bands[2 * k] == bands[2 * k + 1]).any():
+                hits += 1
+        rate = hits / n_pairs
+        tj = np.array(true_js)
+        p_expect = float((1 - (1 - tj**32) ** 4).mean())  # analytic at TRUE j
+        sd = max((p_expect * (1 - p_expect) / n_pairs) ** 0.5, 0.01)
+        assert abs(rate - p_expect) < 4 * sd + 0.02, (
+            f"s={s}: rate {rate:.3f} vs analytic {p_expect:.3f}"
+        )
+
+
+def test_spark_signatures_match_reference(spark, small_corpus):
+    """Distributed signature stage == single-node reference, bit for bit."""
+    df = corpus_to_spark(spark, small_corpus)
+    sig_df = minhash.add_signatures(df).select("file_id", "sig", "bands")
+    got = {r["file_id"]: (r["sig"], r["bands"]) for r in sig_df.collect()}
+    contents = [r["content"].encode() for r in small_corpus.rows]
+    ids = [r["file_id"] for r in small_corpus.rows]
+    sig, bands = ref.ref_signatures(contents)
+    sig_i32 = sig.view(np.int32)
+    for k, fid in enumerate(ids):
+        assert got[fid][0] == sig_i32[k].tolist(), f"sig mismatch for {fid}"
+        assert got[fid][1] == bands[k].tolist(), f"bands mismatch for {fid}"
+
+
+def test_spark_pipeline_matches_reference_end_to_end(spark, small_corpus):
+    """Candidates -> verify -> CC all equal the single-node reference;
+    this is the 'matches the reference's cluster assignments' gate."""
+    contents = [r["content"].encode() for r in small_corpus.rows]
+    ids = [r["file_id"] for r in small_corpus.rows]
+    sig, bands = ref.ref_signatures(contents)
+    ref_pairs = ref.ref_candidate_pairs(bands, ids)
+    ref_ver = ref.ref_verified_pairs(sig, ref_pairs, ids, DEFAULT.jaccard_threshold)
+    ref_labels = ref.ref_clusters(ids, ref_ver)
+
+    df = corpus_to_spark(spark, small_corpus)
+    sig_df = minhash.add_signatures(df).select("file_id", "sig", "bands").cache()
+    band_df = lsh.explode_bands(sig_df)
+    pairs = lsh.candidate_pairs(band_df).cache()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got_pairs == ref_pairs
+
+    ver = verify.verified_pairs(pairs, sig_df).cache()
+    got_ver = {(r["id_a"], r["id_b"]) for r in ver.collect()}
+    assert got_ver == ref_ver
+
+    labels = cc.connected_components(ver.select("id_a", "id_b"))
+    labels = cc.attach_singletons(labels, df)
+    got_labels = {r["uid"]: r["cluster_id"] for r in labels.collect()}
+    assert got_labels == ref_labels
+
+
+def test_hub_cap_preserves_components(spark):
+    """Mega-bucket capping must not change connected components: build a
+    bucket of identical docs larger than the cap and check the cluster."""
+    cfg = PipelineConfig(max_bucket_size=10)
+    data = [(i, "identical content for everyone " * 40) for i in range(40)]
+    df = spark.createDataFrame(data, "file_id long, content string")
+    sig_df = minhash.add_signatures(df, cfg=cfg).select("file_id", "sig", "bands")
+    band_df = lsh.explode_bands(sig_df)
+    pairs = lsh.candidate_pairs(band_df, cfg)
+    n_pairs = pairs.count()
+    assert n_pairs == 39  # hub star, not 40*39/2 = 780
+    report = lsh.capped_bucket_report(band_df, cfg).collect()
+    assert report and all(r["pairs_elided"] == 780 - 39 for r in report)
+    labels = cc.connected_components(pairs)
+    got = {r["uid"]: r["cluster_id"] for r in labels.collect()}
+    assert set(got) == set(range(40)) and set(got.values()) == {0}
+
+
+def test_cc_converges_on_chain(spark):
+    """Chain graph (worst case for propagation): still converges, min label."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a long, id_b long")
+    labels = cc.connected_components(edges)
+    got = {r["uid"]: r["cluster_id"] for r in labels.collect()}
+    assert set(got.values()) == {0} and len(got) == 31

@@ -1,0 +1,89 @@
+"""Flagship pipeline test: dup-pair recall >= 0.99 and precision >= 0.99 vs
+brute-force ground truth (BASELINE.json metric), via the union of the three
+candidate generators + exact verification + connected components.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hmse_spark.corpus import CorpusSpec, generate_corpus, corpus_to_spark
+from hmse_spark.plans.pipeline import run_near_dup_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark):
+    c = generate_corpus(CorpusSpec(n_files=400))
+    df = corpus_to_spark(spark, c)
+    res = run_near_dup_pipeline(spark, df)
+    labels = {r["file_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    return c, res, labels
+
+
+def test_all_files_labeled(pipeline_result):
+    c, res, labels = pipeline_result
+    assert set(labels) == {r["file_id"] for r in c.rows}
+
+
+def test_dup_pair_recall(pipeline_result):
+    """>= 0.99 of truth is_dup pairs end up in the same cluster."""
+    c, res, labels = pipeline_result
+    dup_pairs = [(p["id_a"], p["id_b"]) for p in c.truth_pairs if p["is_dup"]]
+    assert len(dup_pairs) >= 50
+    hit = sum(1 for a, b in dup_pairs if labels[a] == labels[b])
+    recall = hit / len(dup_pairs)
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} ({hit}/{len(dup_pairs)})"
+
+
+def test_dup_pair_precision(pipeline_result):
+    """Same-cluster pairs must be truth dups: edges use exact Jaccard >= 0.85,
+    so false merges can only come from truth gaps; require >= 0.99."""
+    c, res, labels = pipeline_result
+    truth_clusters = c.truth_clusters
+    # all same-cluster pairs produced by the pipeline
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for fid, cid in labels.items():
+        groups[cid].append(fid)
+    same, same_truth = 0, 0
+    for members in groups.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                same += 1
+                if truth_clusters[members[i]] == truth_clusters[members[j]]:
+                    same_truth += 1
+    assert same > 0
+    precision = same_truth / same
+    assert precision >= 0.99, f"precision {precision:.4f}"
+
+
+def test_cluster_labels_are_min_ids(pipeline_result):
+    c, res, labels = pipeline_result
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for fid, cid in labels.items():
+        groups[cid].append(fid)
+    for cid, members in groups.items():
+        assert cid == min(members)
+
+
+def test_metrics_row(pipeline_result):
+    c, res, labels = pipeline_result
+    m = res.metrics.first()
+    assert m["n_files"] == len(c.rows)
+    assert 0 < m["n_unique_contents"] < m["n_files"]
+    assert m["n_verified_pairs"] <= m["n_candidate_pairs"]
+    assert m["n_clusters"] == len(set(labels.values()))
+
+
+def test_invariant_column_preserved(pipeline_result):
+    """Per-row sha256(content) equality carried end-to-end (BASELINE.json)."""
+    import hashlib
+
+    c, res, labels = pipeline_result
+    rows = res.files.select("file_id", "content", "file_sha").limit(20).collect()
+    for r in rows:
+        assert r["file_sha"] == hashlib.sha256(r["content"].encode()).hexdigest()

@@ -1,0 +1,104 @@
+"""SimHash + suffix-array variant tests (driver-mandated extensions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+from hmse_spark.corpus import CorpusSpec, generate_corpus, corpus_to_spark, _edit_to_jaccard, _gen_code
+from hmse_spark.operators import simhash, suffix
+from hmse_spark.operators import lsh
+from hmse_spark.operators import connected_components as cc
+
+
+def test_simhash_identical_and_distinct():
+    a = b"the quick brown fox jumps over the lazy dog" * 30
+    b = bytes(np.random.default_rng(5).integers(0, 256, 2000, dtype=np.uint8))
+    fp = simhash.simhash_batch([a, a, b])
+    assert fp[0] == fp[1]
+    ham = bin(int(fp[0]) ^ int(fp[2])).count("1")
+    assert ham > 10  # unrelated content is far in Hamming space
+
+
+def test_simhash_near_dup_is_close():
+    rng = np.random.default_rng(6)
+    base = _gen_code(rng, "java", 5000)
+    var = _edit_to_jaccard(rng, base, 0.90)
+    fp = simhash.simhash_batch([base.encode(), var.encode()])
+    ham = bin(int(fp[0]) ^ int(fp[1])).count("1")
+    assert ham <= 12, f"hamming {ham} too large for J=0.9 pair"
+
+
+def test_simhash_spark_matches_numpy(spark):
+    c = generate_corpus(CorpusSpec(n_files=60))
+    df = corpus_to_spark(spark, c)
+    got = {
+        r["file_id"]: (r["simhash"], r["sim_bands"])
+        for r in simhash.add_simhash(df).select("file_id", "simhash", "sim_bands").collect()
+    }
+    contents = [r["content"].encode() for r in c.rows]
+    fp = simhash.simhash_batch(contents)
+    bands = simhash.simhash_bands(fp)
+    for k, r in enumerate(c.rows):
+        assert got[r["file_id"]][0] == int(fp[k].view(np.int64) if hasattr(fp[k], "view") else fp[k])
+        assert got[r["file_id"]][1] == bands[k].tolist()
+
+
+def test_simhash_banding_finds_exact_and_near(spark):
+    c = generate_corpus(CorpusSpec(n_files=80))
+    df = corpus_to_spark(spark, c)
+    fp_df = simhash.add_simhash(df).select("file_id", "simhash", "sim_bands").cache()
+    band_df = simhash.explode_sim_bands(fp_df)
+    pairs = lsh.candidate_pairs(band_df)
+    ver = simhash.verified_sim_pairs(pairs, fp_df).cache()
+    got = {(r["id_a"], r["id_b"]) for r in ver.collect()}
+    # every exact-dup truth pair must be found (hamming 0)
+    exact = {(p["id_a"], p["id_b"]) for p in c.truth_pairs if p["jaccard"] == 1.0}
+    assert exact <= got
+
+
+def test_suffix_array_correctness():
+    s = np.frombuffer(b"banana\x00", dtype=np.uint8)
+    sa = suffix.suffix_array(s)
+    suffixes = [bytes(s[i:]).decode("latin-1") for i in sa]
+    assert suffixes == sorted(suffixes)
+
+
+def test_anchor_fingerprints_shift_resistant():
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, size=100_000, dtype=np.uint8).tobytes()
+    shifted = b"PREFIX" * 10 + data
+    fa = suffix.anchor_fingerprints(data)
+    fb = suffix.anchor_fingerprints(shifted)
+    inter = np.intersect1d(fa, fb).size
+    assert inter / fa.size > 0.98  # anchors are content-defined
+
+
+def test_anchor_pairs_find_near_dups(spark):
+    c = generate_corpus(CorpusSpec(n_files=100))
+    df = corpus_to_spark(spark, c)
+    pairs = suffix.anchor_candidate_pairs(df).cache()
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    dup_pairs = {(p["id_a"], p["id_b"]) for p in c.truth_pairs if p["is_dup"]}
+    found = len(dup_pairs & got)
+    assert found / len(dup_pairs) >= 0.95, f"anchor recall {found/len(dup_pairs):.3f}"
+
+
+def test_suffix_array_pairs_spark(spark):
+    cfg = PipelineConfig(substr_partition_bytes=8 << 20)
+    c = generate_corpus(CorpusSpec(n_files=60))
+    df = corpus_to_spark(spark, c)
+    pairs = suffix.suffix_array_pairs(df, cfg=cfg, num_groups=1).cache()
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exact dups share everything -> must be found
+    exact = {(p["id_a"], p["id_b"]) for p in c.truth_pairs if p["jaccard"] == 1.0}
+    missing = exact - got
+    # exact pairs may be connected through a hub rather than directly; check
+    # component-level containment instead of direct edges
+    from tests.reference_impl import ref_clusters
+    ids = sorted({x for p in got for x in p} | {x for p in exact for x in p})
+    lab = ref_clusters(ids, got)
+    for a, b in exact:
+        assert lab.get(a) == lab.get(b), f"exact pair ({a},{b}) not connected"
