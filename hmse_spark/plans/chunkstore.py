@@ -1,0 +1,222 @@
+"""Chunk-store pipeline: the reference's full write path (L1+L2+L3+L4) and
+read path (reconstruction), producing the dedup-ratio metric.
+
+Write path (SURVEY.md §3.1; /root/reference/README.md:1503-1583):
+
+    files -> FastCDC chunks -> chunk index (exact dedup, groupBy sha)
+          -> unique chunks (bytes re-sliced from canonical files)
+          -> MinHash/LSH over unique chunks -> est-Jaccard verify -> CC
+          -> per-cluster delta encode (20% rule) | DEFLATE full chunks
+          -> chunk_records store + metrics
+
+Read path (README.md:1617-1674): every file re-assembles from its chunk-sha
+sequence: full -> inflate, delta -> inflate base + apply delta; verification
+asserts sha256(reconstructed) == sha256(original) for 100% of files
+(VALIDATION_METHODS.md:257; README.md:1329, 2156).
+
+Dedup ratio = logical input bytes / stored payload bytes (CF formula,
+VALIDATION_METHODS.md:255-256). Pointer occurrences cost 0 payload bytes —
+their 40-byte index entries are metadata, as in the reference's accounting
+(README.md:1306-1315 counts only data bytes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+from hmse_spark.operators import connected_components as cc
+from hmse_spark.operators import delta as delta_op
+from hmse_spark.operators import fastcdc, lsh, minhash, verify
+
+
+@dataclass
+class ChunkStoreResult:
+    chunks: DataFrame         # (file_id, chunk_idx, offset, length, chunk_sha)
+    chunk_index: DataFrame    # (chunk_sha, refcount, canonical: struct)
+    records: DataFrame        # unique-sha store records (kind/base/payload)
+    metrics: DataFrame        # single-row byte accounting + dedup ratio
+
+
+def build_chunk_store(
+    spark: SparkSession,
+    files: DataFrame,
+    cfg: PipelineConfig = DEFAULT,
+    id_col: str = "file_id",
+    content_col: str = "content",
+) -> ChunkStoreResult:
+    # ---- L2: content-defined chunks (narrow) ------------------------------
+    chunks = fastcdc.chunk_files(files, cfg, content_col).persist()
+
+    # ---- L3: exact dedup over chunk hashes (one uniform shuffle) ----------
+    chunk_index = (
+        chunks.groupBy("chunk_sha")
+        .agg(
+            F.count("*").alias("refcount"),
+            F.min(F.struct(id_col, "chunk_idx", "offset", "length")).alias("canonical"),
+        )
+        .persist()
+    )
+
+    # unique chunk bytes: join canonical locations back to file content and
+    # slice — shuffles 40-byte metadata + one content copy per UNIQUE chunk
+    uniq = (
+        chunk_index.select(
+            "chunk_sha",
+            F.col(f"canonical.{id_col}").alias(id_col),
+            F.col("canonical.offset").alias("offset"),
+            F.col("canonical.length").alias("length"),
+        )
+        .join(files.select(id_col, content_col), id_col)
+        .withColumn(
+            "chunk_bytes",
+            fastcdc.slice_chunk_bytes_udf()(F.col(content_col), F.col("offset"), F.col("length")),
+        )
+        .select("chunk_sha", "chunk_bytes")
+        # stable numeric uid for CC: canonical position is unique per sha
+        .withColumn(
+            "chunk_uid",
+            F.xxhash64("chunk_sha"),
+        )
+        .persist()
+    )
+
+    # ---- L4: near-dup clustering over unique chunks ------------------------
+    sigs = minhash.add_signatures(uniq, "chunk_bytes", cfg).select(
+        "chunk_uid", "chunk_sha", "sig", "bands"
+    )
+    pairs = lsh.candidate_pairs(lsh.explode_bands(sigs, "chunk_uid"), cfg)
+    ver = verify.verified_pairs(pairs, sigs, "chunk_uid", cfg)
+    labels = cc.connected_components(ver.select("id_a", "id_b"))
+    labels = cc.attach_singletons(labels, uniq, "chunk_uid").withColumnRenamed(
+        "uid", "chunk_uid"
+    )
+
+    clustered = uniq.join(labels, "chunk_uid").select(
+        "cluster_id", "chunk_uid", "chunk_sha", "chunk_bytes"
+    )
+
+    # ---- delta encode + L1 full compression -------------------------------
+    records = delta_op.encode_clusters(clustered, cfg).persist()
+
+    # ---- metrics -----------------------------------------------------------
+    logical = files.agg(F.sum(F.octet_length(content_col))).first()[0]
+    stored = records.agg(F.sum("stored_len")).first()[0]
+    n_chunks = chunks.count()
+    n_unique = chunk_index.count()
+    n_delta = records.filter(F.col("kind") == delta_op.KIND_DELTA).count()
+    metrics = spark.createDataFrame(
+        [
+            {
+                "logical_bytes": int(logical),
+                "stored_bytes": int(stored),
+                "dedup_ratio": round(logical / stored, 6),
+                "n_chunks": n_chunks,
+                "n_unique_chunks": n_unique,
+                "unique_ratio": round(n_unique / max(n_chunks, 1), 6),
+                "n_delta_chunks": n_delta,
+            }
+        ]
+    )
+    return ChunkStoreResult(chunks, chunk_index, records, metrics)
+
+
+def ablation_metrics(
+    spark: SparkSession,
+    files: DataFrame,
+    cfg: PipelineConfig = DEFAULT,
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-layer dedup-ratio contribution (VALIDATION_METHODS.md:454-471):
+    L1 only / L1+L2+L3 exact / full L1-L4 delta pipeline."""
+    import dataclasses
+
+    logical = files.agg(F.sum(F.octet_length(content_col))).first()[0]
+
+    @F.pandas_udf("long")
+    def deflate_len(content: pd.Series) -> pd.Series:
+        return content.map(lambda s: len(delta_op.deflate(s.encode())))
+
+    l1_stored = files.agg(F.sum(deflate_len(F.col(content_col)))).first()[0]
+
+    no_delta = dataclasses.replace(cfg, delta_max_fraction=0.0)
+    l3 = build_chunk_store(spark, files, no_delta, content_col=content_col)
+    l3_stored = l3.metrics.first()["stored_bytes"]
+
+    full = build_chunk_store(spark, files, cfg, content_col=content_col)
+    full_stored = full.metrics.first()["stored_bytes"]
+
+    rows = [
+        {"config": "L1_only", "stored_bytes": int(l1_stored)},
+        {"config": "L1_L2_L3_exact", "stored_bytes": int(l3_stored)},
+        {"config": "full_L1_L4", "stored_bytes": int(full_stored)},
+    ]
+    for r in rows:
+        r["logical_bytes"] = int(logical)
+        r["dedup_ratio"] = round(logical / r["stored_bytes"], 6)
+    return spark.createDataFrame(rows)
+
+
+def reconstruct_and_verify(
+    spark: SparkSession,
+    files: DataFrame,
+    store: ChunkStoreResult,
+    id_col: str = "file_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Read path: rebuild every file from the store; returns per-file
+    (file_id, ok boolean) where ok = sha256 match with the original."""
+    # resolve every chunk occurrence to raw bytes: full -> inflate(payload),
+    # delta -> delta_decode(inflate(base payload), payload)
+    base_payloads = store.records.filter(F.col("kind") == delta_op.KIND_FULL).select(
+        F.col("chunk_sha").alias("base_sha"), F.col("payload").alias("base_payload")
+    )
+    resolved = store.records.join(base_payloads, "base_sha", "left")
+
+    @F.pandas_udf("binary")
+    def decode_chunk(kind: pd.Series, payload: pd.Series, base_payload: pd.Series) -> pd.Series:
+        out = []
+        for k, p, bp in zip(kind, payload, base_payload):
+            if k == delta_op.KIND_FULL:
+                out.append(delta_op.inflate(bytes(p)))
+            else:
+                base = delta_op.inflate(bytes(bp))
+                out.append(delta_op.delta_decode(base, bytes(p)))
+        return pd.Series(out)
+
+    chunk_bytes = resolved.select(
+        "chunk_sha",
+        decode_chunk(F.col("kind"), F.col("payload"), F.col("base_payload")).alias(
+            "chunk_bytes"
+        ),
+    )
+
+    assembled = (
+        store.chunks.join(chunk_bytes, "chunk_sha")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("chunk_idx"), F.col("chunk_bytes")))
+            ).alias("parts")
+        )
+        .select(
+            id_col,
+            F.sha2(
+                F.aggregate(
+                    "parts",
+                    F.lit(b""),
+                    lambda acc, x: F.concat(acc, x["chunk_bytes"]),
+                ),
+                256,
+            ).alias("rebuilt_sha"),
+        )
+    )
+    orig = files.select(id_col, F.sha2(F.col(content_col), 256).alias("orig_sha"))
+    return assembled.join(orig, id_col).select(
+        id_col, (F.col("rebuilt_sha") == F.col("orig_sha")).alias("ok")
+    )

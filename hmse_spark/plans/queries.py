@@ -259,6 +259,30 @@ def q_near_dup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.metrics
 
 
+@register("chunk_store_metrics", None)
+def q_chunk_store_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.plans.chunkstore import build_chunk_store
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    return build_chunk_store(spark, documents_as_corpus(spark, sf_dir)).metrics
+
+
+@register("roundtrip_fidelity", None)
+def q_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-path verification: 100% of files must reconstruct losslessly
+    (README.md:1329, 2156; VALIDATION_METHODS.md:257)."""
+    from hmse_spark.plans.chunkstore import build_chunk_store, reconstruct_and_verify
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    store = build_chunk_store(spark, corpus)
+    ver = reconstruct_and_verify(spark, corpus, store)
+    return ver.agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.col("ok").cast("long")).alias("n_ok"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7 minimum slice: scan -> sha256 invariant -> exact-dedup
     groups -> refcounts. Used by ``__spark_entry__.entry``."""

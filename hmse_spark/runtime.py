@@ -20,23 +20,38 @@ from pyspark.sql import SparkSession
 _SHIPPED_ATTR = "_hmse_spark_shipped"
 
 
-def package_zip_path() -> str:
-    """Build (once per process) a zip of the hmse_spark package."""
+def _package_files() -> list[str]:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    out = os.path.join(tempfile.gettempdir(), "hmse_spark_pkg.zip")
-    tmp = out + ".tmp"
+    out = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def package_zip_path() -> str:
+    """Build a zip of the hmse_spark package, keyed by a content fingerprint
+    so stale zips from earlier package versions are never reused."""
+    import hashlib
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    files = _package_files()
+    h = hashlib.sha256()
+    for full in files:
+        h.update(full.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    out = os.path.join(tempfile.gettempdir(), f"hmse_spark_pkg_{h.hexdigest()[:16]}.zip")
     if os.path.exists(out):
         return out
+    tmp = out + f".tmp{os.getpid()}"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            if "__pycache__" in root:
-                continue
-            for f in files:
-                if not f.endswith(".py"):
-                    continue
-                full = os.path.join(root, f)
-                rel = os.path.join("hmse_spark", os.path.relpath(full, pkg_dir))
-                zf.write(full, rel)
+        for full in files:
+            rel = os.path.join("hmse_spark", os.path.relpath(full, pkg_dir))
+            zf.write(full, rel)
     shutil.move(tmp, out)
     return out
 

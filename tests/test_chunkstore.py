@@ -1,0 +1,100 @@
+"""Chunk-store write/read path: round-trip fidelity, delta 20% rule,
+worst-case random corpus, and byte accounting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hmse_spark.config import PipelineConfig
+from hmse_spark.corpus import CorpusSpec, generate_corpus, corpus_to_spark
+from hmse_spark.operators import delta as delta_op
+from hmse_spark.plans.chunkstore import build_chunk_store, reconstruct_and_verify
+
+
+def test_delta_codec_roundtrip():
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, 8000, dtype=np.uint8).tobytes()
+    target = bytearray(base)
+    for p in rng.integers(0, 8000, 40):
+        target[p] = rng.integers(0, 256)
+    target = bytes(target)
+    d = delta_op.delta_encode(base, target)
+    assert delta_op.delta_decode(base, d) == target
+    assert len(d) < 0.2 * len(target)  # near-dup deltas are small
+
+
+@pytest.fixture(scope="module")
+def store_result(spark):
+    c = generate_corpus(CorpusSpec(n_files=120))
+    df = corpus_to_spark(spark, c)
+    res = build_chunk_store(spark, df)
+    return c, df, res
+
+
+def test_roundtrip_fidelity(spark, store_result):
+    """100% checksum pass rate (README.md:1329, 2156)."""
+    c, df, res = store_result
+    ver = reconstruct_and_verify(spark, df, res)
+    n = ver.count()
+    ok = ver.filter("ok").count()
+    assert n == len(c.rows)
+    assert ok == n, f"only {ok}/{n} files reconstructed losslessly"
+
+
+def test_store_metrics(store_result):
+    c, df, res = store_result
+    m = res.metrics.first()
+    assert m["n_unique_chunks"] <= m["n_chunks"]
+    assert m["dedup_ratio"] > 2.0  # redundant corpus + DEFLATE must beat 2:1
+    assert m["stored_bytes"] > 0
+    # stored equals the sum of record payload lengths exactly
+    paysum = res.records.agg(F.sum(F.octet_length("payload"))).first()[0]
+    assert paysum == m["stored_bytes"]
+
+
+def test_records_one_per_unique_sha(store_result):
+    c, df, res = store_result
+    assert res.records.count() == res.records.select("chunk_sha").distinct().count()
+    assert res.records.count() == res.chunk_index.count()
+    # delta records reference an existing full record
+    bad = (
+        res.records.filter("kind = 'delta'")
+        .alias("d")
+        .join(
+            res.records.filter("kind = 'full'").alias("f"),
+            F.col("d.base_sha") == F.col("f.chunk_sha"),
+            "left_anti",
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_delta_twenty_percent_rule(store_result):
+    c, df, res = store_result
+    bad = res.records.filter(
+        (F.col("kind") == "delta") & (F.col("stored_len") > 0.2 * F.col("orig_len"))
+    ).count()
+    assert bad == 0
+
+
+def test_random_worst_case(spark):
+    """Incompressible random corpus: dedup ratio ~1:1, no delta records
+    (VALIDATION_METHODS.md:213)."""
+    rng = np.random.default_rng(10)
+    rows = [
+        (i, rng.integers(0, 256, 6000, dtype=np.uint8).tobytes().hex())
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "file_id long, content string")
+    res = build_chunk_store(spark, df)
+    m = res.metrics.first()
+    assert m["n_delta_chunks"] == 0
+    assert m["n_unique_chunks"] == m["n_chunks"]
+    # hex text deflates ~2:1; the point is exact+near dedup find nothing
+    assert m["unique_ratio"] == 1.0
+    ver = reconstruct_and_verify(spark, df, res)
+    assert ver.filter("ok").count() == 20

@@ -1,0 +1,51 @@
+"""The authoritative fixture: dedup ratio 9.371:1 on the Wikipedia-profile
+synthetic corpus (BASELINE.json metric; reference's closest figure 9.375:1,
+/root/reference/README.md:2853), plus chunk-level 5-copy acceptance and the
+per-layer ablation report.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hmse_spark.corpus import (
+    CorpusSpec,
+    corpus_to_spark,
+    generate_corpus,
+    wikipedia_profile_spec,
+)
+from hmse_spark.plans.chunkstore import ablation_metrics, build_chunk_store
+
+
+def test_dedup_ratio_fixture(spark):
+    c = generate_corpus(wikipedia_profile_spec())
+    df = corpus_to_spark(spark, c)
+    m = build_chunk_store(spark, df).metrics.first()
+    target = 9.371
+    err = abs(m["dedup_ratio"] - target) / target
+    assert err <= 0.01, f"dedup ratio {m['dedup_ratio']:.4f} vs target {target} (err {err:.2%})"
+
+
+def test_five_copies_chunk_level(spark):
+    """README.md:1298-1315 at chunk granularity: 5x corpus -> unique chunks
+    unchanged, stored bytes within 1.05x of single-copy store."""
+    c = generate_corpus(CorpusSpec(n_files=60))
+    df = corpus_to_spark(spark, c)
+    five = df
+    for i in range(1, 5):
+        five = five.unionByName(df.withColumn("file_id", F.col("file_id") + F.lit(i * 1_000_000)))
+    m1 = build_chunk_store(spark, df).metrics.first()
+    m5 = build_chunk_store(spark, five).metrics.first()
+    assert m5["n_unique_chunks"] == m1["n_unique_chunks"]
+    assert m5["stored_bytes"] <= 1.05 * m1["stored_bytes"]
+    assert m5["dedup_ratio"] / m1["dedup_ratio"] > 4.75
+
+
+def test_ablation_layers_monotone(spark):
+    """Each added layer must not lose compression: L1 <= L1+L3 <= full."""
+    c = generate_corpus(CorpusSpec(n_files=80))
+    df = corpus_to_spark(spark, c)
+    rows = {r["config"]: r["dedup_ratio"] for r in ablation_metrics(spark, df).collect()}
+    assert rows["L1_only"] <= rows["L1_L2_L3_exact"] <= rows["full_L1_L4"]
+    assert rows["L1_only"] >= 2.0  # DEFLATE on code text
