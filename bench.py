@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints exactly ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline queries:
+- exact_dedup:      L3 semantics over the documents table
+- near_dup_cluster: full multi-variant pipeline over the documents table
+- chunk_store:      L1-L4 write path + dedup ratio over the documents table
+- hotpath_sig:      signature+band-hash hot path over the synthetic
+                    source-code corpus (the north_rule scaling surface),
+                    reported as files/sec in the JSON extras
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+HOTPATH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "4000"))
+
+
+def main() -> None:
+    from hmse_spark.corpus import CorpusSpec, generate_corpus, corpus_to_spark
+    from hmse_spark.plans import queries as q
+    from hmse_spark.plans.chunkstore import build_chunk_store
+    from hmse_spark.runtime import ensure_on_executors
+    from hmse_spark.session import build_session
+    from hmse_spark.sources.tables import documents_as_corpus
+    from hmse_spark.operators import lsh, minhash
+
+    spark = build_session(
+        "hmse_bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_on_executors(spark)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    registry = q.queries()
+    timed("exact_dedup", lambda: registry["exact_dup_groups"](spark, SF_DIR).count())
+    timed(
+        "near_dup_cluster",
+        lambda: registry["near_dup_clusters"](spark, SF_DIR).count(),
+    )
+    timed(
+        "chunk_store",
+        lambda: build_chunk_store(
+            spark, documents_as_corpus(spark, SF_DIR)
+        ).metrics.collect(),
+    )
+
+    # signature + band-hash hot path on the synthetic source-code corpus
+    corpus = generate_corpus(CorpusSpec(n_files=HOTPATH_FILES, seed=42))
+    files = corpus_to_spark(spark, corpus).repartition(CPUS * 4, "file_id")
+    files = files.persist()
+    files.count()  # materialize input outside the timed region
+    t0 = time.time()
+    n = lsh.explode_bands(minhash.add_signatures(files), "file_id").count()
+    dt = time.time() - t0
+    timings["hotpath_sig"] = round(dt, 3)
+    extras["hotpath_files_per_sec"] = round(HOTPATH_FILES / dt, 1)
+    extras["hotpath_band_rows"] = n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "hmse_spark_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

