@@ -1,0 +1,160 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+These are engine extensions beyond the reference (which processes opaque
+text), required for the large-scale training-data use case. Everything stays
+JVM-side (built-in column expressions) where possible; only the n-gram
+language model and fingerprinting need vectorized pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- quality signals (pure column expressions: codegen'd, pushdown-friendly)
+
+
+def with_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / whitespace / word-shape signals + a composite
+    quality score in [0, 1]. All built-in expressions — no Python."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_spaces = n_chars - F.length(F.regexp_replace(t, " ", ""))
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(t, "[^.,;:!?'\"()\\[\\]{}-]", ""))
+    words = F.filter(F.split(t, " "), lambda x: x != F.lit(""))
+    n_words = F.size(words)
+    avg_word_len = F.when(n_words > 0, (n_chars - n_spaces) / n_words).otherwise(F.lit(0.0))
+    df = (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("alpha_ratio", F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("digit_ratio", F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("space_ratio", F.round(n_spaces / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("avg_word_len", F.round(avg_word_len, 6))
+    )
+    # composite: long-enough, mostly alphabetic, sane word lengths, not
+    # punctuation soup — each term clamped to [0,1]
+    score = (
+        F.least(F.col("n_chars_q") / F.lit(200.0), F.lit(1.0)) * 0.25
+        + F.col("alpha_ratio") * 0.35
+        + F.least(F.col("space_ratio") * F.lit(6.0), F.lit(1.0)) * 0.2
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * F.lit(5.0), F.lit(1.0))) * 0.2
+    )
+    return df.withColumn("quality_score", F.round(score, 6))
+
+
+def whitespace_token_count(text_col: str = "text") -> Column:
+    """Exact whitespace token count (single-space split, empties dropped) —
+    chosen for bit-identical cross-engine (DuckDB) reproducibility."""
+    return F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit("")))
+
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]|\s+"
+
+
+def bpeish_token_count_udf():
+    """GPT-2-style pre-tokenizer regex count (approximate BPE token cost).
+    Regex engines differ across DuckDB/Spark, so this is a rows-only op."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    pat = re.compile(_BPE_ISH)
+
+    @pandas_udf("long")
+    def bpeish_tokens(text: pd.Series) -> pd.Series:
+        return text.map(lambda s: sum(1 for m in pat.finditer(s or "") if not m.group().isspace()))
+
+    return bpeish_tokens
+
+
+# --- language identification (n-gram/stopword heuristic, vectorized) -------
+
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is ", " in ", " that "],
+    "de": [" der ", " die ", " und ", " das ", " ist ", " nicht ", " mit "],
+    "es": [" el ", " la ", " de ", " que ", " los ", " por ", " una "],
+    "fr": [" le ", " la ", " et ", " les ", " des ", " une ", " est "],
+}
+
+_CODE_MARKERS: dict[str, list[str]] = {
+    "python": ["def ", "import ", "self.", "elif ", "lambda ", "None"],
+    "javascript": ["function ", "const ", "var ", "=> ", "let ", "null"],
+    "java": ["public ", "void ", "static ", "extends ", "System.", "final "],
+    "go": ["func ", ":= ", "package ", "fmt.", "chan ", "defer "],
+    "c": ["#include", "printf", "malloc", "->", "int ", "sizeof"],
+    "cpp": ["std::", "template", "namespace", "::", "auto ", "#include"],
+}
+
+
+def _detect(
+    batch: pd.Series, markers: dict[str, list[str]], default: str, lowercase: bool
+) -> pd.Series:
+    import re
+
+    langs = list(markers)
+    scores = np.zeros((len(batch), len(langs)), dtype=np.float64)
+    texts = batch.fillna("")
+    if lowercase:
+        texts = texts.str.lower()
+    for j, lang in enumerate(langs):
+        for m in markers[lang]:
+            scores[:, j] += texts.str.count(re.escape(m)).to_numpy()
+    best = scores.argmax(axis=1)
+    hit = scores.max(axis=1) > 0
+    return pd.Series(np.where(hit, np.array(langs)[best], default))
+
+
+def detect_natural_lang_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def detect_lang(text: pd.Series) -> pd.Series:
+        return _detect(text, _LANG_MARKERS, "und", lowercase=True)
+
+    return detect_lang
+
+
+def detect_code_lang_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def detect_code_lang(text: pd.Series) -> pd.Series:
+        return _detect(text, _CODE_MARKERS, "unknown", lowercase=False)
+
+    return detect_code_lang
+
+
+# --- document fingerprinting (rolling-hash winnowing) ----------------------
+
+
+def fingerprint_udf(window_bytes: int = 32):
+    """Winnowing-style document fingerprint: min avalanche64 over the rolling
+    windows of the content — a single stable long per document usable for
+    containment sketches and fast pre-clustering."""
+    from pyspark.sql.functions import pandas_udf
+
+    from hmse_spark.functions.hashing import avalanche64
+    from hmse_spark.functions.shingles import shingles_u32
+
+    @pandas_udf("long")
+    def doc_fingerprint(text: pd.Series) -> pd.Series:
+        out = []
+        for s in text:
+            b = (s or "").encode() if isinstance(s, (str, type(None))) else bytes(s)
+            sh = shingles_u32(b)
+            if sh.size == 0:
+                out.append(0)
+            else:
+                m = int(avalanche64(sh.astype(np.uint64)).min())
+                out.append(m - (1 << 64) if m >= (1 << 63) else m)  # two's complement
+        return pd.Series(out, dtype="int64")
+
+    return doc_fingerprint

@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Training-data-pipeline extension. Image/audio/video payloads are opaque
+``binary`` columns with a typed metadata struct; decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` so payload bytes
+never round-trip through Python row objects.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode step is STUBBED (clearly marked): ``decode=deterministic_fake`` yields
+a seeded, content-derived fake decode so the Spark-side plumbing — schema,
+partitioning, UDF signatures, batch shapes, byte accounting — is real and
+tested; ``decode=strict`` raises NotImplementedError where a real codec
+would be called.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "asset_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int, codec:string>"
+)
+
+FEATURE_SCHEMA = (
+    "asset_id long, kind string, n_bytes long, sha string, "
+    "feature array<float>, decode_ok boolean"
+)
+
+
+def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake asset table for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(2_000, 20_000)), dtype=np.uint8).tobytes()
+        meta = {
+            "width": int(rng.integers(32, 1024)) if kind != "audio" else None,
+            "height": int(rng.integers(32, 1024)) if kind != "audio" else None,
+            "sample_rate": 16000 if kind == "audio" else None,
+            "duration_ms": int(rng.integers(100, 60_000)) if kind != "image" else None,
+            "codec": {"image": "png", "audio": "pcm16", "video": "h264"}[kind],
+        }
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic content-derived fake 'decoded features': the container
+    has no image/audio codecs (documented stub). Replace with a real decoder
+    by swapping this function; the batch plumbing is unchanged."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    take = (buf.size // dim) * dim
+    if take == 0:
+        return np.zeros(dim, dtype=np.float32)
+    return buf[:take].reshape(-1, dim).mean(axis=0).astype(np.float32) / 255.0
+
+
+def extract_features(
+    assets: DataFrame, dim: int = 16, decode: str = "deterministic_fake"
+) -> DataFrame:
+    """mapInPandas feature extraction: one Arrow batch in, one out. The real
+    decode hook sits where _fake_decode is called."""
+    import hashlib
+
+    if decode not in ("deterministic_fake", "strict"):
+        raise ValueError(decode)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "strict":
+                raise NotImplementedError(
+                    "real image/audio/video codecs are not available in this "
+                    "container; use decode='deterministic_fake' for plumbing"
+                )
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "sha": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "feature": [_fake_decode(p, dim).tolist() for p in payloads],
+                    "decode_ok": True,
+                }
+            )
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: (asset_id, frame_idx, ts_ms) rows derived
+    from metadata — pure column expressions (sequence + explode), the real
+    frame extraction would consume this plan inside the decode UDF."""
+    vids = assets.filter(F.col("kind") == "video")
+    return vids.select(
+        "asset_id",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
+        ).alias("frame_idx", "ts_ms"),
+    )

@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline extension (no reference analogue): approximate
+nearest neighbors over an embedding table.
+
+- **Brute-force cosine top-k** (the correctness baseline): a self-join with
+  JVM-side dot products (``zip_with`` + ``aggregate`` — no Python) and a
+  window top-k. Quadratic — correct at any SF, affordable at bench SF,
+  and the oracle for the ANN variant.
+- **Hyperplane-LSH ANN** (the scale path): sign bits against ``n_planes``
+  deterministic random hyperplanes (Charikar 2002) bucket the vectors;
+  search joins only same-bucket candidates (multi-probe via multiple bands
+  of planes). At 100 TB the bucket join replaces the quadratic cross join
+  with a uniform-key equi-join, same skeleton as the MinHash band join.
+- **Embedding near-dup pairs**: all pairs with cosine >= threshold, via the
+  same bucketing — the embedding-space analogue of MinHash dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cos_col(a: str, b: str):
+    # cast elements to double BEFORE multiplying: float32 products would
+    # differ from the DuckDB oracle (and from numpy) in the 6th decimal
+    da = F.transform(F.col(a), lambda x: x.cast("double"))
+    db = F.transform(F.col(b), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(da, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(db, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
+    return dot / F.greatest(na * nb, F.lit(1e-30))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For every vector: its k nearest neighbors by cosine (excluding self),
+    deterministic tie-break on neighbor id. Columns: vec_id, neighbor_id,
+    cos_sim (rounded 6dp), rank."""
+    a = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(_cos_col("va", "vb"), 6))
+        .drop("va", "vb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane_planes(dim: int, n_planes: int = 16, n_bands: int = 4, seed: int = 42) -> np.ndarray:
+    """Deterministic (seeded) hyperplanes: (n_bands, n_planes, dim)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bands, n_planes, dim))
+
+
+def add_hyperplane_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``buckets: array<long>`` — one sign-pattern bucket per band.
+    The planes matrix is tiny and is closed over (broadcast with the UDF)."""
+    planes = hyperplane_planes(dim, n_planes, n_bands, seed)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = []
+        if mat.size == 0:
+            return pd.Series(out)
+        bits_per_band = []
+        for b in range(planes.shape[0]):
+            proj = mat @ planes[b].T  # (n_rows, n_planes)
+            bits = (proj > 0).astype(np.uint64)
+            key = np.zeros(mat.shape[0], dtype=np.uint64)
+            for j in range(planes.shape[1]):
+                key |= bits[:, j] << np.uint64(j)
+            bits_per_band.append((key + np.uint64(b) * np.uint64(1 << 60)).astype(np.int64))
+        stacked = np.stack(bits_per_band, axis=1)
+        return pd.Series(list(stacked))
+
+    return embeddings.withColumn("buckets", bucket_of(F.col(vec_col)))
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one hyperplane bucket.
+    Same output shape as brute_force_topk (missing true neighbors possible —
+    that's the accuracy/cost trade the recall test quantifies)."""
+    with_buckets = add_hyperplane_buckets(embeddings, dim, n_planes, n_bands, seed, vec_col)
+    flat = with_buckets.select(
+        F.col(id_col).alias("uid"), F.col(vec_col).alias("vec"),
+        F.explode("buckets").alias("bucket"),
+    )
+    a = flat.select(F.col("uid").alias("vec_id"), F.col("vec").alias("va"), "bucket")
+    b = flat.select(F.col("uid").alias("neighbor_id"), F.col("vec").alias("vb"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", "va", "vb")
+        .dropDuplicates(["vec_id", "neighbor_id"])
+        .withColumn("cos_sim", F.round(_cos_col("va", "vb"), 6))
+        .drop("va", "vb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_bands: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine >= threshold via bucketed search
+    (more bands + shorter keys than top-k: high recall at high thresholds)."""
+    with_buckets = add_hyperplane_buckets(embeddings, dim, n_planes, n_bands, seed, vec_col)
+    flat = with_buckets.select(
+        F.col(id_col).alias("uid"), F.col(vec_col).alias("vec"),
+        F.explode("buckets").alias("bucket"),
+    )
+    a = flat.select(F.col("uid").alias("id_a"), F.col("vec").alias("va"), "bucket")
+    b = flat.select(F.col("uid").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos_sim", F.round(_cos_col("va", "vb"), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

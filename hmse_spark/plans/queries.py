@@ -283,6 +283,157 @@ def q_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Training-data ops: text analysis + similarity search (SQL-expressible ones
+# get oracles; regex/UDF-dependent ones are rows-only).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+             AS n_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.whitespace_token_count("text").alias("n_tokens"))
+
+
+@register(
+    "quality_signals",
+    """
+    SELECT doc_id,
+           CAST(ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                      / greatest(length(text), 1), 6) AS DOUBLE) AS alpha_ratio,
+           CAST(ROUND((length(text) - length(replace(text, ' ', ''))) * 1.0
+                      / greatest(length(text), 1), 6) AS DOUBLE) AS space_ratio
+    FROM documents
+    """,
+)
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = F.greatest(F.length(t), F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.round(F.length(F.regexp_replace(t, "[^a-zA-Z]", "")) / n, 6).alias("alpha_ratio"),
+        F.round((F.length(t) - F.length(F.regexp_replace(t, " ", ""))) / n, 6).alias(
+            "space_ratio"
+        ),
+    )
+
+
+@register(
+    "embedding_topk",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), sims AS (
+      SELECT a.vec_id,
+             b.vec_id AS neighbor_id,
+             ROUND(list_inner_product(a.emb, b.emb) /
+                   greatest(sqrt(list_inner_product(a.emb, a.emb)) *
+                            sqrt(list_inner_product(b.emb, b.emb)),
+                            1e-30), 6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT vec_id, neighbor_id, CAST(cos_sim AS DOUBLE) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM sims
+    )
+    SELECT * FROM ranked WHERE rank <= 3
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, k=3)
+
+
+@register("ann_topk", None)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.ann_topk(emb, dim=dim, k=3, n_planes=4, n_bands=16)
+
+
+@register("embedding_near_dups", None)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.embedding_near_dup_pairs(emb, dim=dim, threshold=0.5)
+
+
+@register("natural_lang_id", None)
+def q_natural_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.detect_natural_lang_udf()(F.col("text")).alias("detected_lang")
+    )
+
+
+@register("code_lang_id", None)
+def q_code_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.detect_code_lang_udf()(F.col("text")).alias("detected_code_lang")
+    )
+
+
+@register("doc_fingerprints", None)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint_udf()(F.col("text")).alias("fingerprint"))
+
+
+@register("bpeish_token_counts", None)
+def q_bpeish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.bpeish_token_count_udf()(F.col("text")).alias("n_bpeish_tokens")
+    )
+
+
+@register("quality_scores", None)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return T.with_quality_signals(docs).select(
+        "doc_id", "n_words", "alpha_ratio", "punct_ratio", "avg_word_len", "quality_score"
+    )
+
+
+@register("multimodal_features", None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hmse_spark.operators import multimodal
+
+    assets = multimodal.synthesize_assets(spark, n=48)
+    return multimodal.extract_features(assets, dim=16)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7 minimum slice: scan -> sha256 invariant -> exact-dedup
     groups -> refcounts. Used by ``__spark_entry__.entry``."""

@@ -1,0 +1,94 @@
+"""Checkpoint/lineage/resume semantics (north_rule): completed stages are
+never recomputed, killed runs redo only missing partition groups, and
+resumed outputs are identical to uninterrupted ones.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hmse_spark.corpus import CorpusSpec, generate_corpus, corpus_to_spark
+from hmse_spark.plans.checkpoint import CheckpointManager
+from hmse_spark.plans.pipeline import run_near_dup_pipeline
+
+
+@pytest.fixture()
+def ckpt_root(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def test_stage_resume_skips_recompute(spark, ckpt_root):
+    mgr = CheckpointManager(spark, ckpt_root)
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out1 = mgr.get_or_compute("stage_a", lambda: df)
+    assert out1.count() == 100
+
+    def boom():
+        raise AssertionError("completed stage must not recompute")
+
+    mgr2 = CheckpointManager(spark, ckpt_root)
+    out2 = mgr2.get_or_compute("stage_a", boom)
+    assert out2.count() == 100
+    assert sorted(r["v"] for r in out2.collect()) == sorted(r["v"] for r in out1.collect())
+
+
+def test_lineage_rows_written(spark, ckpt_root):
+    mgr = CheckpointManager(spark, ckpt_root)
+    mgr.get_or_compute("stage_a", lambda: spark.range(50))
+    mgr.get_or_compute("stage_b", lambda: spark.range(10))
+    lin = mgr.lineage()
+    stages = {r["stage"] for r in lin.collect()}
+    assert {"stage_a", "stage_b"} <= stages
+    rows = lin.groupBy("stage").agg(F.sum("rows").alias("n")).collect()
+    got = {r["stage"]: r["n"] for r in rows}
+    assert got["stage_a"] == 50 and got["stage_b"] == 10
+
+
+def test_partition_group_resume(spark, ckpt_root):
+    mgr = CheckpointManager(spark, ckpt_root)
+    df = spark.range(1000).withColumnRenamed("id", "file_id")
+    calls = []
+
+    def compute_group(part):
+        calls.append(1)
+        return part.withColumn("out", F.col("file_id") + 1)
+
+    full = mgr.get_or_compute_grouped("heavy", df, compute_group, "file_id", num_groups=4)
+    assert full.count() == 1000
+    assert len(calls) == 4
+
+    # simulate a kill: one group's output vanishes
+    victim = os.path.join(ckpt_root, "heavy", "group=0002")
+    shutil.rmtree(victim)
+    calls.clear()
+    mgr2 = CheckpointManager(spark, ckpt_root)
+    resumed = mgr2.get_or_compute_grouped("heavy", df, compute_group, "file_id", num_groups=4)
+    assert len(calls) == 1  # only the missing group recomputed
+    assert resumed.count() == 1000
+    assert resumed.agg(F.sum("out")).first()[0] == sum(range(1, 1001))
+
+
+def test_pipeline_with_checkpoints_resumes_identically(spark, ckpt_root):
+    c = generate_corpus(CorpusSpec(n_files=80))
+    df = corpus_to_spark(spark, c)
+    mgr = CheckpointManager(spark, ckpt_root)
+    res1 = run_near_dup_pipeline(spark, df, ckpt=mgr)
+    labels1 = {r["file_id"]: r["cluster_id"] for r in res1.clusters.collect()}
+
+    # wipe the tail of the pipeline; head stages must be reused
+    for stage in ("clusters", "verified_pairs", "metrics"):
+        p = os.path.join(ckpt_root, stage)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    mgr2 = CheckpointManager(spark, ckpt_root)
+    res2 = run_near_dup_pipeline(spark, df, ckpt=mgr2)
+    labels2 = {r["file_id"]: r["cluster_id"] for r in res2.clusters.collect()}
+    assert labels1 == labels2
+    # signatures stage must have exactly one lineage generation (not re-run)
+    lin = mgr2.lineage().filter(F.col("stage") == "signatures")
+    sig_rows = res2.signatures.count()
+    assert lin.agg(F.sum("rows")).first()[0] == sig_rows

@@ -1,0 +1,163 @@
+"""Text-analysis, similarity-search, and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hmse_spark.functions import text as T
+from hmse_spark.operators import multimodal, similarity
+from hmse_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_quality_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "A well formed sentence with reasonable words and length, twice over."),
+            (2, "!!!???;;;;....,,,"),
+            (3, ""),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r.asDict() for r in T.with_quality_signals(df).collect()}
+    assert out[1]["quality_score"] > out[2]["quality_score"]
+    assert out[2]["punct_ratio"] > 0.9
+    assert out[3]["n_words"] == 0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "  a bb  ccc  "), (2, "one"), (3, "")], "id long, text string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", T.whitespace_token_count("text").alias("n")).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 0}
+    bpe = {r["id"]: r["n"] for r in df.select("id", T.bpeish_token_count_udf()(F.col("text")).alias("n")).collect()}
+    assert bpe[1] == 3 and bpe[3] == 0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house that jack built and the rest is history"),
+            (2, "der hund und die katze sind nicht mit dem mann und der frau im haus"),
+            (3, "el perro y la casa de los hombres que viven por una calle"),
+            (4, "zzzz qqqq xxxx"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", T.detect_natural_lang_udf()(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "es" and got[4] == "und"
+
+
+def test_code_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "def main(self):\n    import os\n    return None"),
+            (2, "public static void main(String[] args) { System.out.println(1); }"),
+            (3, "func main() { x := 1; fmt.Println(x) }"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", T.detect_code_lang_udf()(F.col("text")).alias("l")).collect()}
+    assert got == {1: "python", 2: "java", 3: "go"}
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([(1, "hello world " * 20), (2, "hello world " * 20), (3, "other")], "id long, text string")
+    got = {r["id"]: r["fp"] for r in df.select("id", T.fingerprint_udf()(F.col("text")).alias("fp")).collect()}
+    assert got[1] == got[2] != got[3]
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def test_brute_force_topk(spark):
+    emb = load_table(spark, SF, "embeddings")
+    k = 3
+    out = similarity.brute_force_topk(emb.limit(60), k=k).collect()
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    for vid, rows in by_vec.items():
+        assert len(rows) == k
+        sims = [r["cos_sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+    # cross-check one vector against numpy
+    pdf = emb.limit(60).toPandas()
+    mat = np.array([np.array(v) for v in pdf["embedding"]], dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    q = 0
+    sims = mat @ mat[q] / (np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[q]))
+    sims[q] = -2
+    best = ids[np.argsort(-np.round(sims, 6))][:k]
+    got = [r["neighbor_id"] for r in sorted(by_vec[ids[q]], key=lambda r: r["rank"])]
+    assert set(got) == set(best.tolist())
+
+
+def test_ann_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings").limit(200).cache()
+    dim = len(emb.first()["embedding"])
+    k = 5
+    bf = similarity.brute_force_topk(emb, k=k)
+    # testdata embeddings are near-random (top-1 cosine ~0.33 at 64 dims):
+    # hyperplane collision prob per bit is ~0.6, so high recall needs short
+    # keys x many bands (4x16 -> analytic ~0.90 for true top-k)
+    ann = similarity.ann_topk(emb, dim=dim, k=k, n_planes=4, n_bands=16)
+    bf_set = {(r["vec_id"], r["neighbor_id"]) for r in bf.collect()}
+    ann_set = {(r["vec_id"], r["neighbor_id"]) for r in ann.collect()}
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall >= 0.8, f"ANN recall {recall:.3f} too low"
+
+
+def test_embedding_near_dup_pairs(spark):
+    # construct known near-dups: clone vectors with tiny noise
+    rng = np.random.default_rng(8)
+    base = rng.standard_normal((30, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.astype(float).tolist()))
+        rows.append((1000 + i, (v + rng.standard_normal(16) * 0.01).astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = similarity.embedding_near_dup_pairs(df, dim=16, threshold=0.98)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expect = {(i, 1000 + i) for i in range(30)}
+    assert len(expect & got) / len(expect) >= 0.9
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+
+def test_multimodal_features(spark):
+    assets = multimodal.synthesize_assets(spark, n=30)
+    feats = multimodal.extract_features(assets, dim=16).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == 16
+        assert r["decode_ok"]
+        assert r["n_bytes"] > 0
+    # determinism
+    feats2 = multimodal.extract_features(multimodal.synthesize_assets(spark, n=30), dim=16).collect()
+    a = {r["asset_id"]: r["feature"] for r in feats}
+    b = {r["asset_id"]: r["feature"] for r in feats2}
+    assert a == b
+
+
+def test_multimodal_strict_stub_raises(spark):
+    assets = multimodal.synthesize_assets(spark, n=3)
+    with pytest.raises(Exception):
+        multimodal.extract_features(assets, decode="strict").collect()
+
+
+def test_frame_sample_plan(spark):
+    assets = multimodal.synthesize_assets(spark, n=30)
+    plan = multimodal.frame_sample_plan(assets, every_ms=5000)
+    pdf = plan.toPandas()
+    assert (pdf["ts_ms"] % 5000 == 0).all()
+    meta = {r["asset_id"]: r["meta"]["duration_ms"] for r in assets.filter("kind='video'").collect()}
+    for aid, grp in pdf.groupby("asset_id"):
+        assert grp["ts_ms"].max() <= meta[aid]
+        assert len(grp) == meta[aid] // 5000 + 1
