@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Production entry point: the full near-dup detection + clustering pipeline
+via spark-submit (north_rule).
+
+Usage (cluster):
+    python -c 'import sys; sys.path.insert(0,"."); \
+        from hmse_spark.runtime import package_zip_path; print(package_zip_path())'
+    spark-submit --py-files <that zip> bin/run_pipeline.py \
+        --input  <iceberg table identifier or parquet path> \
+        --output <checkpoint/output root> \
+        [--variants minhash,simhash,substr] [--chunk-store] \
+        [--shuffle-partitions 2048] [--jaccard-threshold 0.85]
+
+Local smoke:
+    spark-submit --master 'local[8]' \
+        --py-files "$(python -c 'import sys; sys.path.insert(0,"."); from hmse_spark.runtime import package_zip_path; print(package_zip_path())')" \
+        bin/run_pipeline.py --input /tmp/files.parquet --output /tmp/out
+
+Input schema: (repo string, path string, commit string, lang string,
+content string) [+ optional file_id long; synthesized deterministically from
+(repo, path, commit) when absent]. Outputs under --output: every pipeline
+stage as a committed table (signatures, candidate_pairs, verified_pairs,
+clusters, metrics, _lineage), resumable per stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--variants", default="minhash,simhash,substr")
+    ap.add_argument("--chunk-store", action="store_true", help="also build the L1-L4 chunk store + dedup-ratio metrics")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--jaccard-threshold", type=float, default=None)
+    ap.add_argument("--max-bucket-size", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    # spark-submit provides the session config (master, executors, --conf);
+    # only engine-required settings are layered on top here.
+    builder = SparkSession.builder.appName("hmse_near_dup_pipeline")
+    builder = builder.config("spark.sql.adaptive.enabled", "true")
+    builder = builder.config("spark.sql.adaptive.skewJoin.enabled", "true")
+    builder = builder.config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    if args.shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark = builder.getOrCreate()
+
+    from hmse_spark.config import DEFAULT
+    from hmse_spark.plans.checkpoint import CheckpointManager
+    from hmse_spark.plans.pipeline import run_near_dup_pipeline
+    from hmse_spark.runtime import ensure_on_executors
+    from hmse_spark.sources.tables import load_iceberg_or_parquet
+
+    ensure_on_executors(spark)
+
+    overrides = {}
+    if args.jaccard_threshold is not None:
+        overrides["jaccard_threshold"] = args.jaccard_threshold
+    if args.max_bucket_size is not None:
+        overrides["max_bucket_size"] = args.max_bucket_size
+    cfg = dataclasses.replace(DEFAULT, **overrides) if overrides else DEFAULT
+
+    files = load_iceberg_or_parquet(spark, args.input)
+    if "file_id" not in files.columns:
+        files = files.withColumn(
+            "file_id",
+            F.xxhash64(F.concat_ws("\x1f", "repo", "path", "commit")),
+        )
+
+    mgr = CheckpointManager(spark, args.output)
+    res = run_near_dup_pipeline(
+        spark,
+        files,
+        cfg=cfg,
+        variants=tuple(v for v in args.variants.split(",") if v),
+        ckpt=mgr,
+    )
+    m = res.metrics.first().asDict()
+    print(f"pipeline metrics: {m}")
+
+    if args.chunk_store:
+        from hmse_spark.plans.chunkstore import build_chunk_store
+
+        store = build_chunk_store(spark, files, cfg)
+        mgr.get_or_compute("chunk_records", lambda: store.records)
+        mgr.get_or_compute("chunk_store_metrics", lambda: store.metrics)
+        print(f"chunk store metrics: {store.metrics.first().asDict()}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Energy break-even model (reference parity utility).
+
+Re-derives the math of the reference's only runnable artifact
+(/root/reference/tools/energy_calculator.py:28-92): given corpus size,
+compression factor, link bandwidth, and power figures, compute compression
+vs transmission energy, the break-even compression factor
+
+    CF_min = E_uncompressed / (E_uncompressed - E_compress)
+
+and the energy ROI. Fresh implementation from the published formulas (not a
+copy); validated against the reference tool's documented example output
+(tools/README.md:59-101: 75 GB @ CF 9.375, 1 Mbps, 5 W -> break-even
+1.022:1, ROI 40.4x, 726.4 Wh saved / 87.2%).
+
+Engine-side use: a plain function over scenario rows, plus a column-level
+wrapper so fleets of scenarios evaluate as one vectorized projection.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class EnergyReport:
+    compress_wh: float
+    transmit_wh: float
+    total_wh: float
+    transmit_hours: float
+    uncompressed_wh: float
+    breakeven_cf: float
+    saved_wh: float
+    saved_pct: float
+    roi: float
+
+
+def energy_report(
+    size_gb: float,
+    cf: float,
+    bandwidth_mbps: float,
+    transmit_power_w: float = 5.0,
+    compress_power_w: float = 0.5,
+    compress_time_hrs: float = 36.0,
+) -> EnergyReport:
+    bits = size_gb * 8e9
+    bps = bandwidth_mbps * 1e6
+    e_c = compress_power_w * compress_time_hrs
+    t_tx = bits / cf / bps / 3600.0
+    e_tx = transmit_power_w * t_tx
+    e_unc = transmit_power_w * (bits / bps) / 3600.0
+    breakeven = float("inf") if e_c >= e_unc else e_unc / (e_unc - e_c)
+    total = e_c + e_tx
+    saved = e_unc - total
+    roi = saved / e_c if e_c > 0 else float("inf")
+    return EnergyReport(
+        compress_wh=e_c,
+        transmit_wh=e_tx,
+        total_wh=total,
+        transmit_hours=t_tx,
+        uncompressed_wh=e_unc,
+        breakeven_cf=breakeven,
+        saved_wh=saved,
+        saved_pct=100.0 * saved / e_unc if e_unc > 0 else 0.0,
+        roi=roi,
+    )
+
+
+def energy_report_df(scenarios: DataFrame) -> DataFrame:
+    """Vectorized over a scenario table (size_gb, cf, bandwidth_mbps,
+    transmit_power_w, compress_power_w, compress_time_hrs) — pure column
+    expressions, no UDF."""
+    bits = F.col("size_gb") * F.lit(8e9)
+    bps = F.col("bandwidth_mbps") * F.lit(1e6)
+    e_c = F.col("compress_power_w") * F.col("compress_time_hrs")
+    t_tx = bits / F.col("cf") / bps / F.lit(3600.0)
+    e_tx = F.col("transmit_power_w") * t_tx
+    e_unc = F.col("transmit_power_w") * (bits / bps) / F.lit(3600.0)
+    total = e_c + e_tx
+    saved = e_unc - total
+    return scenarios.select(
+        "*",
+        F.round(e_c, 6).alias("compress_wh"),
+        F.round(e_tx, 6).alias("transmit_wh"),
+        F.round(total, 6).alias("total_wh"),
+        F.round(
+            F.when(e_c >= e_unc, F.lit(float("inf"))).otherwise(e_unc / (e_unc - e_c)), 6
+        ).alias("breakeven_cf"),
+        F.round(saved, 6).alias("saved_wh"),
+        F.round(saved / e_c, 6).alias("roi"),
+    )

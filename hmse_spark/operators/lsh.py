@@ -52,13 +52,16 @@ def candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from band collisions.
 
-    One aggregation computes bucket sizes; small buckets self-join (AQE
-    handles residual skew), oversized buckets emit hub stars. Both paths
-    reuse the size-annotated band table, so the band table is shuffled once
-    on (band_id, band_hash) and stays co-partitioned for the join.
+    Bucket sizes come from a window count over (band_id, band_hash) — ONE
+    shuffle of the band table (a groupBy+join-back would shuffle it twice),
+    after which the annotated table is already hash-partitioned on the join
+    key, so the small-bucket self-join and the hub aggregation reuse the
+    exchange. AQE's skew-join split handles residual imbalance.
     """
-    sizes = bucket_sizes(band_df)
-    annotated = band_df.join(sizes, ["band_id", "band_hash"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_hash")
+    annotated = band_df.withColumn("bucket_size", F.count("*").over(w))
     annotated = annotated.filter(F.col("bucket_size") > 1)
 
     small = annotated.filter(F.col("bucket_size") <= cfg.max_bucket_size)

@@ -92,12 +92,16 @@ def anchor_candidate_pairs(
     uniform key) -> pair count aggregation. Mega-fingerprints (boilerplate
     windows shared by thousands of docs) are hub-capped like LSH buckets.
     """
+    from pyspark.sql import Window
+
     udf = make_anchor_udf(cfg)
     fps = df.select(
         F.col(id_col).alias("uid"), F.explode(udf(F.col(content_col))).alias("fp")
     )
-    sizes = fps.groupBy("fp").agg(F.count("*").alias("bucket_size"))
-    annotated = fps.join(sizes, "fp").filter(F.col("bucket_size") > 1)
+    # window count = one shuffle, co-partitioned for the subsequent self-join
+    annotated = fps.withColumn(
+        "bucket_size", F.count("*").over(Window.partitionBy("fp"))
+    ).filter(F.col("bucket_size") > 1)
 
     small = annotated.filter(F.col("bucket_size") <= cfg.max_bucket_size)
     a = small.select("fp", F.col("uid").alias("id_a"))

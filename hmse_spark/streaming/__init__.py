@@ -1,0 +1,15 @@
+"""Structured Streaming: intentionally absent.
+
+The reference is an explicitly offline, self-contained batch processor with
+no watermarks, stream windows, or late data (/root/reference/README.md:
+104-109, 195-199), and SURVEY.md §2.9 concludes no streaming operators are
+required. The north_rule's "resumable from checkpoint" requirement is batch
+checkpointing — implemented in hmse_spark/plans/checkpoint.py (atomic stage
+commits, per-partition lineage, partition-group resume), not Structured
+Streaming checkpoints.
+
+If an incremental-ingest mode is ever needed, the natural seam is the
+exact-dedup stage: `readStream` the file table, anti-join new rows against
+the persisted chunk/signature indices, and append — every downstream
+operator already consumes plain DataFrames.
+"""

@@ -1,0 +1,49 @@
+"""Energy model golden test — replicates the reference tool's documented
+example output (/root/reference/tools/README.md:59-101)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hmse_spark.functions.energy import energy_report, energy_report_df
+
+
+def test_documented_reference_scenario():
+    """75 GB, CF 9.375, 1 Mbps, 5 W tx -> the README's golden numbers."""
+    r = energy_report(size_gb=75, cf=9.375, bandwidth_mbps=1, transmit_power_w=5)
+    assert r.compress_wh == pytest.approx(18.0, abs=0.05)
+    assert r.transmit_wh == pytest.approx(88.9, abs=0.05)
+    assert r.total_wh == pytest.approx(106.9, abs=0.05)
+    assert r.transmit_hours == pytest.approx(17.78, abs=0.005)
+    assert r.uncompressed_wh == pytest.approx(833.3, abs=0.05)
+    assert r.breakeven_cf == pytest.approx(1.022, abs=0.0005)
+    assert r.saved_wh == pytest.approx(726.4, abs=0.05)
+    assert r.saved_pct == pytest.approx(87.2, abs=0.05)
+    assert r.roi == pytest.approx(40.4, abs=0.05)
+
+
+def test_breakeven_infinite_when_compression_dominates():
+    r = energy_report(size_gb=0.001, cf=5, bandwidth_mbps=1000, transmit_power_w=0.5)
+    assert r.breakeven_cf == float("inf")
+
+
+def test_dataframe_wrapper_matches_scalar(spark):
+    rows = [
+        (75.0, 9.375, 1.0, 5.0, 0.5, 36.0),
+        (10.0, 5.0, 0.05, 0.5, 0.5, 36.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "size_gb double, cf double, bandwidth_mbps double, "
+        "transmit_power_w double, compress_power_w double, compress_time_hrs double",
+    )
+    got = energy_report_df(df).collect()
+    for row in got:
+        r = energy_report(
+            row["size_gb"], row["cf"], row["bandwidth_mbps"],
+            row["transmit_power_w"], row["compress_power_w"], row["compress_time_hrs"],
+        )
+        # DF columns are rounded to 6 decimals
+        assert row["total_wh"] == pytest.approx(r.total_wh, abs=1e-6)
+        assert row["breakeven_cf"] == pytest.approx(r.breakeven_cf, abs=1e-6)
+        assert row["roi"] == pytest.approx(r.roi, abs=1e-6)
