@@ -68,12 +68,25 @@ def main() -> None:
     files = corpus_to_spark(spark, corpus).repartition(CPUS * 4, "file_id")
     files = files.persist()
     files.count()  # materialize input outside the timed region
+    corpus_bytes = sum(len(r["content"]) for r in corpus.rows)
     t0 = time.time()
     n = lsh.explode_bands(minhash.add_signatures(files), "file_id").count()
     dt = time.time() - t0
     timings["hotpath_sig"] = round(dt, 3)
     extras["hotpath_files_per_sec"] = round(HOTPATH_FILES / dt, 1)
     extras["hotpath_band_rows"] = n
+    extras["hotpath_mb_per_sec"] = round(corpus_bytes / 1e6 / dt, 2)
+
+    # end-to-end near-dup pipeline at realistic payload sizes (MB/s is the
+    # comparable figure vs the reference's 0.57 MB/s end-to-end projection)
+    from hmse_spark.plans.pipeline import run_near_dup_pipeline
+
+    t0 = time.time()
+    res = run_near_dup_pipeline(spark, files, with_metrics=False)
+    res.clusters.count()
+    dt = time.time() - t0
+    timings["pipeline_synthetic"] = round(dt, 3)
+    extras["pipeline_mb_per_sec"] = round(corpus_bytes / 1e6 / dt, 2)
 
     total = round(sum(timings.values()), 3)
     print(

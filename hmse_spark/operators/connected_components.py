@@ -49,6 +49,10 @@ def connected_components(
         .withColumn("cluster_id", F.col("uid"))
         .localCheckpoint()
     )
+    # decimal(38,0): uids may be full-range 64-bit hashes, whose long sum
+    # overflows under ANSI mode
+    _label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).first()[0]
 
     for it in range(max_iterations):
         # min label over closed neighborhood
@@ -84,15 +88,14 @@ def connected_components(
         )
         if (it + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "uid")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        # labels only ever decrease, so the label sum is strictly monotone
+        # until the fixpoint — convergence is one tiny aggregate instead of a
+        # join + count per round
+        new_sum = new_labels.agg(_label_sum).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )

@@ -1,0 +1,82 @@
+"""Fused signature pass: MinHash + bands + SimHash + bands + anchor
+fingerprints in ONE vectorized UDF.
+
+The content column is the dominant byte mover in the whole engine; computing
+each variant's signatures in its own pandas UDF would Arrow-transfer the full
+corpus once per variant. Fusing them reads content exactly once — at 100 TB
+that is two fewer full-corpus scans, and locally it collapses three python
+worker round-trips into one. The constituent kernels are unchanged (and unit
+tested individually); this wrapper only co-schedules them per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+from hmse_spark.operators.minhash import band_hash_batch, minhash_batch
+from hmse_spark.operators.simhash import simhash_bands, simhash_batch
+from hmse_spark.operators.suffix import anchor_fingerprints
+
+FUSED_SCHEMA = (
+    "struct<sig: array<int>, bands: array<long>, "
+    "simhash: long, sim_bands: array<long>, anchor_fps: array<long>>"
+)
+
+
+def make_fused_udf(cfg: PipelineConfig = DEFAULT, variants: tuple[str, ...] = ("minhash", "simhash", "substr")):
+    from pyspark.sql.functions import pandas_udf
+
+    want_min = "minhash" in variants
+    want_sim = "simhash" in variants
+    want_sub = "substr" in variants
+
+    @pandas_udf(FUSED_SCHEMA)
+    def fused_signatures(content: pd.Series) -> pd.DataFrame:
+        contents = [
+            c if isinstance(c, (bytes, bytearray)) else ("" if c is None else c).encode()
+            for c in content
+        ]
+        n = len(contents)
+        out: dict = {}
+        if want_min:
+            sig = minhash_batch(contents, cfg)
+            bands = band_hash_batch(sig, cfg)
+            out["sig"] = list(sig.view(np.int32).reshape(sig.shape))
+            out["bands"] = list(bands)
+        else:
+            out["sig"] = [None] * n
+            out["bands"] = [None] * n
+        if want_sim:
+            fp = simhash_batch(contents, cfg)
+            out["simhash"] = fp.view(np.int64)
+            out["sim_bands"] = list(simhash_bands(fp, cfg))
+        else:
+            out["simhash"] = [None] * n
+            out["sim_bands"] = [None] * n
+        if want_sub:
+            out["anchor_fps"] = [
+                anchor_fingerprints(c, cfg).view(np.int64).tolist() for c in contents
+            ]
+        else:
+            out["anchor_fps"] = [None] * n
+        return pd.DataFrame(out)
+
+    return fused_signatures
+
+
+def add_fused_signatures(
+    df: DataFrame,
+    content_col: str = "content",
+    cfg: PipelineConfig = DEFAULT,
+    variants: tuple[str, ...] = ("minhash", "simhash", "substr"),
+) -> DataFrame:
+    udf = make_fused_udf(cfg, variants)
+    out = df.withColumn("_f", udf(F.col(content_col)))
+    for c in ("sig", "bands", "simhash", "sim_bands", "anchor_fps"):
+        out = out.withColumn(c, F.col(f"_f.{c}"))
+    return out.drop("_f")

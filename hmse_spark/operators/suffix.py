@@ -92,12 +92,18 @@ def anchor_candidate_pairs(
     uniform key) -> pair count aggregation. Mega-fingerprints (boilerplate
     windows shared by thousands of docs) are hub-capped like LSH buckets.
     """
-    from pyspark.sql import Window
-
     udf = make_anchor_udf(cfg)
     fps = df.select(
         F.col(id_col).alias("uid"), F.explode(udf(F.col(content_col))).alias("fp")
     )
+    return anchor_pairs_from_fps(fps, cfg)
+
+
+def anchor_pairs_from_fps(fps: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Pair generation from a pre-exploded (uid, fp) table — lets the fused
+    signature pass (operators/fused.py) feed this without re-reading content."""
+    from pyspark.sql import Window
+
     # window count = one shuffle, co-partitioned for the subsequent self-join
     annotated = fps.withColumn(
         "bucket_size", F.count("*").over(Window.partitionBy("fp"))

@@ -39,7 +39,7 @@ class PipelineResult:
     candidate_pairs: DataFrame  # union over variants, distinct
     verified_pairs: DataFrame   # exact-Jaccard >= threshold edges
     clusters: DataFrame         # (file_id, cluster_id) for EVERY file
-    metrics: DataFrame          # one row of stage counts / ratios
+    metrics: DataFrame | None = None  # one row of stage counts (with_metrics)
 
 
 def run_near_dup_pipeline(
@@ -50,6 +50,7 @@ def run_near_dup_pipeline(
     ckpt: CheckpointManager | None = None,
     id_col: str = "file_id",
     content_col: str = "content",
+    with_metrics: bool = True,
 ) -> PipelineResult:
     def stage(name: str, compute):
         if ckpt is None:
@@ -73,11 +74,14 @@ def run_near_dup_pipeline(
         ),
     )
 
-    # ---- L4: signatures on unique reps ------------------------------------
+    # ---- L4: signatures on unique reps — ONE fused UDF pass reads content
+    # once for all variants (operators/fused.py)
+    from hmse_spark.operators.fused import add_fused_signatures
+
     signatures = stage(
         "signatures",
-        lambda: minhash.add_signatures(reps, content_col, cfg).select(
-            id_col, "file_sha", "sig", "bands"
+        lambda: add_fused_signatures(reps, content_col, cfg, variants).select(
+            id_col, "file_sha", "sig", "bands", "simhash", "sim_bands", "anchor_fps"
         ),
     )
 
@@ -90,16 +94,8 @@ def run_near_dup_pipeline(
             ).select("id_a", "id_b")
         )
     if "simhash" in variants:
-        sim_fp = stage(
-            "simhash_fp",
-            lambda: simhash.add_simhash(reps, content_col, cfg).select(
-                id_col, "simhash", "sim_bands"
-            ),
-        )
-        sim_cand = stage(
-            "pairs_simhash_cand",
-            lambda: lsh.candidate_pairs(simhash.explode_sim_bands(sim_fp, id_col), cfg),
-        )
+        sim_fp = signatures.select(id_col, "simhash", "sim_bands")
+        sim_cand = lsh.candidate_pairs(simhash.explode_sim_bands(sim_fp, id_col), cfg)
         pair_sets.append(
             stage(
                 "pairs_simhash",
@@ -107,10 +103,13 @@ def run_near_dup_pipeline(
             ).select("id_a", "id_b")
         )
     if "substr" in variants:
+        fps = signatures.select(
+            F.col(id_col).alias("uid"), F.explode("anchor_fps").alias("fp")
+        )
         pair_sets.append(
             stage(
                 "pairs_substr",
-                lambda: suffix.anchor_candidate_pairs(reps, id_col, content_col, cfg),
+                lambda: suffix.anchor_pairs_from_fps(fps, cfg),
             ).select("id_a", "id_b")
         )
 
@@ -151,10 +150,14 @@ def run_near_dup_pipeline(
         ),
     )
 
-    metrics = stage(
-        "metrics",
-        lambda: _metrics_row(spark, files_sha, index, candidates, verified, clusters, id_col),
-    )
+    metrics = None
+    if with_metrics:
+        metrics = stage(
+            "metrics",
+            lambda: _metrics_row(
+                spark, files_sha, index, candidates, verified, clusters, id_col
+            ),
+        )
 
     return PipelineResult(
         files=files_sha,

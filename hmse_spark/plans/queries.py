@@ -246,7 +246,9 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hmse_spark.plans.pipeline import run_near_dup_pipeline
     from hmse_spark.sources.tables import documents_as_corpus
 
-    res = run_near_dup_pipeline(spark, documents_as_corpus(spark, sf_dir))
+    res = run_near_dup_pipeline(
+        spark, documents_as_corpus(spark, sf_dir), with_metrics=False
+    )
     return res.clusters
 
 
