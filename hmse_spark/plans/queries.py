@@ -436,6 +436,113 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(assets, dim=16)
 
 
+# --------------------------------------------------------------------------
+# Relational breadth (SURVEY.md §2.3 joins, §2.6 top-k, §2.7 set ops) —
+# oracle-checked on the TPC-H-ish tables.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "top_users_by_value",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id ASC
+    LIMIT 10
+    """,
+)
+def q_top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "users_purchase_without_refund",
+    """
+    SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events WHERE event_type = 'refund'
+    """,
+)
+def q_users_purchase_without_refund(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    b = events.filter(F.col("event_type") == "refund").select("user_id").distinct()
+    return a.exceptAll(b).distinct()
+
+
+@register(
+    "lineitem_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(l_quantity), 4) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(l_extendedprice), 4) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(AVG(l_quantity), 6) AS DOUBLE) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register("ngram_jaccard_pairs", None)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-gram-Jaccard verified near-dup pairs over documents (the
+    n-gram-Jaccard dedup method as a standalone query)."""
+    from hmse_spark.plans.pipeline import run_near_dup_pipeline
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    res = run_near_dup_pipeline(
+        spark, documents_as_corpus(spark, sf_dir), with_metrics=False
+    )
+    return res.verified_pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7 minimum slice: scan -> sha256 invariant -> exact-dedup
     groups -> refcounts. Used by ``__spark_entry__.entry``."""

@@ -1,0 +1,71 @@
+"""Pathological inputs: empty files, sub-shingle files, giant identical
+groups, and single-file corpora must flow through the whole pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hmse_spark.config import PipelineConfig
+from hmse_spark.plans.pipeline import run_near_dup_pipeline
+from hmse_spark.plans.chunkstore import build_chunk_store, reconstruct_and_verify
+
+
+def test_pipeline_with_empty_and_tiny_files(spark):
+    rows = [
+        (0, "r", "p0", "c", "python", ""),
+        (1, "r", "p1", "c", "python", ""),       # two empties: exact dups
+        (2, "r", "p2", "c", "python", "ab"),      # sub-shingle (no 4-grams)
+        (3, "r", "p3", "c", "python", "ab"),
+        (4, "r", "p4", "c", "python", "real content here " * 200),
+        (5, "r", "p5", "c", "python", "real content here " * 200),
+        (6, "r", "p6", "c", "python", "totally different stuff " * 150),
+    ]
+    df = spark.createDataFrame(
+        rows, "file_id long, repo string, path string, commit string, lang string, content string"
+    )
+    res = run_near_dup_pipeline(spark, df, with_metrics=False)
+    labels = {r["file_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    assert set(labels) == set(range(7))
+    assert labels[0] == labels[1]  # empty == empty (exact dup edge)
+    assert labels[2] == labels[3]  # identical sub-shingle files
+    assert labels[4] == labels[5]
+    assert labels[6] not in (labels[0], labels[4])
+    # empties must not merge with real content
+    assert labels[0] != labels[4]
+
+
+def test_chunkstore_with_empty_files(spark):
+    rows = [(0, ""), (1, "x" * 10), (2, "y" * 5000)]
+    df = spark.createDataFrame(rows, "file_id long, content string")
+    store = build_chunk_store(spark, df)
+    ver = reconstruct_and_verify(spark, df, store)
+    got = {r["file_id"]: r["ok"] for r in ver.collect()}
+    # empty file has zero chunks -> vacuously absent from reconstruction;
+    # non-empty files must round-trip
+    assert got.get(1, False) and got.get(2, False)
+
+
+def test_single_file_corpus(spark):
+    df = spark.createDataFrame(
+        [(0, "r", "p", "c", "go", "lonely content " * 100)],
+        "file_id long, repo string, path string, commit string, lang string, content string",
+    )
+    res = run_near_dup_pipeline(spark, df, with_metrics=False)
+    labels = res.clusters.collect()
+    assert len(labels) == 1 and labels[0]["cluster_id"] == 0
+
+
+def test_giant_identical_group_bounded(spark):
+    """500 identical files: pair explosion must be bounded by the exact-dedup
+    path (1 rep, 499 pointer edges), not a 124k-pair self-join."""
+    cfg = PipelineConfig(max_bucket_size=50)
+    rows = [(i, "r", f"p{i}", "c", "c", "same content everywhere " * 100) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "file_id long, repo string, path string, commit string, lang string, content string"
+    )
+    res = run_near_dup_pipeline(spark, df, cfg=cfg, with_metrics=False)
+    # all in one cluster
+    assert res.clusters.select("cluster_id").distinct().count() == 1
+    # candidate pairs only among unique reps (1 rep -> 0 candidates)
+    assert res.candidate_pairs.count() == 0
