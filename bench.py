@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-HOTPATH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "4000"))
+HOTPATH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "12000"))
 
 
 def main() -> None:
@@ -64,11 +64,18 @@ def main() -> None:
     )
 
     # signature + band-hash hot path on the synthetic source-code corpus
-    corpus = generate_corpus(CorpusSpec(n_files=HOTPATH_FILES, seed=42))
-    files = corpus_to_spark(spark, corpus).repartition(CPUS * 4, "file_id")
-    files = files.persist()
+    # (generated once, cached as parquet across bench runs)
+    import tempfile
+
+    cache = os.path.join(tempfile.gettempdir(), f"hmse_bench_corpus_{HOTPATH_FILES}")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        corpus = generate_corpus(CorpusSpec(n_files=HOTPATH_FILES, seed=42))
+        corpus_to_spark(spark, corpus).write.mode("overwrite").parquet(cache)
+    files = spark.read.parquet(cache).repartition(CPUS * 4, "file_id").persist()
     files.count()  # materialize input outside the timed region
-    corpus_bytes = sum(len(r["content"]) for r in corpus.rows)
+    from pyspark.sql import functions as F
+
+    corpus_bytes = files.agg(F.sum(F.octet_length("content"))).first()[0]
     t0 = time.time()
     n = lsh.explode_bands(minhash.add_signatures(files), "file_id").count()
     dt = time.time() - t0

@@ -33,11 +33,24 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
     checkpoint_every: int = 1,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(id_a, id_b) -> (uid, cluster_id) for every id appearing in edges.
 
     cluster_id = min uid in the component.
+
+    Adaptive execution: an edge list below ``local_threshold`` rows is
+    union-found on the driver (one collect; microseconds of CPU) — the
+    distributed loop costs several scheduler round-trips per iteration, which
+    dominates on small graphs. Above the threshold the iterative
+    propagation + pointer-jumping loop runs distributed. Both paths produce
+    identical labels (min-id closure); the choice is logged via the plan, not
+    hidden. 200k edges x 16 bytes ~ 3 MB on the driver — safe by two orders
+    of magnitude against driver memory.
     """
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        return _local_cc(edges)
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -99,6 +112,31 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )
+
+
+def _local_cc(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a small collected edge list; returns the
+    same (uid, cluster_id) schema as the distributed loop."""
+    rows = edges.select("id_a", "id_b").collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r["id_a"], r["id_b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [(x, find(x)) for x in parent]
+    return edges.sparkSession.createDataFrame(out, "uid long, cluster_id long")
 
 
 def attach_singletons(labels: DataFrame, all_units: DataFrame, id_col: str = "file_id") -> DataFrame:

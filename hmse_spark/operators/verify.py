@@ -76,6 +76,13 @@ def exact_verified_pairs(
             ]
         )
 
+    # the UDF IS deterministic, but letting Catalyst treat it as such pushes
+    # the >= threshold filter below the projection and evaluates the UDF
+    # TWICE (once for the filter, once for the output column — observed in
+    # the physical plan). Marking it nondeterministic pins a single
+    # evaluation; results are unchanged.
+    jaccard_udf = jaccard_udf.asNondeterministic()
+
     cont = units.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_content"))
     out = (
         pairs.join(cont.withColumnRenamed("_content", "content_a"), pairs.id_a == F.col("_id"))

@@ -143,8 +143,24 @@ def test_hub_cap_preserves_components(spark):
 
 
 def test_cc_converges_on_chain(spark):
-    """Chain graph (worst case for propagation): still converges, min label."""
+    """Chain graph (worst case for propagation): still converges, min label.
+    local_threshold=0 forces the distributed loop."""
     edges = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a long, id_b long")
-    labels = cc.connected_components(edges)
+    labels = cc.connected_components(edges, local_threshold=0)
     got = {r["uid"]: r["cluster_id"] for r in labels.collect()}
     assert set(got.values()) == {0} and len(got) == 31
+
+
+def test_cc_local_and_distributed_agree(spark):
+    """The adaptive local union-find and the distributed loop are label-
+    identical on a mixed graph (chains + stars + singleton edges)."""
+    import random
+
+    rnd = random.Random(99)
+    edges = [(i, i + 1) for i in range(0, 40, 2)]
+    edges += [(100, 100 + k) for k in range(1, 15)]
+    edges += [(rnd.randrange(200, 260), rnd.randrange(200, 260)) for _ in range(40)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long").filter("id_a != id_b")
+    a = {r["uid"]: r["cluster_id"] for r in cc.connected_components(df, local_threshold=10**9).collect()}
+    b = {r["uid"]: r["cluster_id"] for r in cc.connected_components(df, local_threshold=0).collect()}
+    assert a == b
