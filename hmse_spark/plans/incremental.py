@@ -1,0 +1,83 @@
+"""Incremental ingest: process only never-seen content against an existing
+store.
+
+Reference analogue: the L3 index probe is exactly an existence check against
+persisted state (/root/reference/README.md:1288-1293, 1542-1551); SURVEY.md
+§2.3 maps the incremental/resume form to a left_anti join of new units
+against the persisted index. This module provides that mode:
+
+- new files whose sha already exists in the index become pointer rows
+  immediately (no L4 work at all);
+- genuinely new contents run the signature path and their band rows are
+  UNIONED with the persisted band table, so near-dup candidacy spans old and
+  new corpus without recomputing old signatures — the reference's "insert
+  signature into band tables" (README.md:1558-1576) as an append.
+
+At 10^12-file scale this is the only sane operating mode: per-batch cost is
+proportional to the batch, not the corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+from hmse_spark.operators import exact_dedup, lsh
+from hmse_spark.operators.fused import add_fused_signatures
+
+
+@dataclass
+class IncrementalResult:
+    pointer_rows: DataFrame    # new files that dedup against the existing index
+    new_signatures: DataFrame  # signatures computed for never-seen contents
+    new_candidate_pairs: DataFrame  # pairs touching at least one new unit
+
+
+def ingest_increment(
+    spark: SparkSession,
+    new_files: DataFrame,
+    existing_index: DataFrame,       # (file_sha, canonical_id, ...)
+    existing_band_rows: DataFrame | None,  # (uid, band_id, band_hash) or None
+    cfg: PipelineConfig = DEFAULT,
+    id_col: str = "file_id",
+    content_col: str = "content",
+) -> IncrementalResult:
+    new_sha = exact_dedup.with_sha(new_files, content_col, "file_sha")
+
+    # exact hits -> pointer rows, zero L4 work (the index probe, as a join)
+    pointer_rows = new_sha.join(
+        existing_index.select("file_sha", F.col("canonical_id").alias("base_id")),
+        "file_sha",
+    ).select(id_col, "file_sha", "base_id")
+
+    # never-seen contents only (left_anti against the persisted index), then
+    # dedup within the batch itself
+    unseen = new_sha.join(existing_index.select("file_sha"), "file_sha", "left_anti")
+    batch_index = exact_dedup.build_index(unseen, "file_sha", id_col)
+    reps = unseen.join(batch_index.select(F.col("canonical_id").alias(id_col)), id_col)
+
+    sigs = add_fused_signatures(reps, content_col, cfg, ("minhash",)).select(
+        id_col, "file_sha", "sig", "bands"
+    )
+    new_bands = lsh.explode_bands(sigs, id_col)
+    all_bands = (
+        new_bands if existing_band_rows is None else new_bands.unionByName(existing_band_rows)
+    )
+    pairs = lsh.candidate_pairs(all_bands, cfg)
+    # keep only pairs that involve a new unit — old-old pairs were already
+    # emitted by previous batches
+    new_ids = sigs.select(F.col(id_col).alias("id_a"))
+    touching_new = pairs.join(new_ids, "id_a", "left_semi").unionByName(
+        pairs.join(sigs.select(F.col(id_col).alias("id_b")), "id_b", "left_semi").select(
+            "id_a", "id_b"
+        )
+    ).distinct()
+
+    return IncrementalResult(
+        pointer_rows=pointer_rows,
+        new_signatures=sigs,
+        new_candidate_pairs=touching_new,
+    )

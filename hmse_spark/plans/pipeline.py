@@ -112,6 +112,15 @@ def run_near_dup_pipeline(
                 lambda: suffix.anchor_pairs_from_fps(fps, cfg),
             ).select("id_a", "id_b")
         )
+    if "substr_sa" in variants:
+        # exact within-partition suffix-array detector (bounded memory);
+        # complements the anchor path with exact >= L-byte repeat evidence
+        pair_sets.append(
+            stage(
+                "pairs_substr_sa",
+                lambda: suffix.suffix_array_pairs(reps, id_col, content_col, cfg),
+            ).select("id_a", "id_b")
+        )
 
     candidates = pair_sets[0]
     for p in pair_sets[1:]:
@@ -152,10 +161,16 @@ def run_near_dup_pipeline(
 
     metrics = None
     if with_metrics:
+        capped = None
+        if "minhash" in variants:
+            capped = stage(
+                "capped_buckets",
+                lambda: lsh.capped_bucket_report(lsh.explode_bands(signatures, id_col), cfg),
+            )
         metrics = stage(
             "metrics",
             lambda: _metrics_row(
-                spark, files_sha, index, candidates, verified, clusters, id_col
+                spark, files_sha, index, candidates, verified, clusters, id_col, capped
             ),
         )
 
@@ -178,14 +193,22 @@ def _metrics_row(
     verified: DataFrame,
     clusters: DataFrame,
     id_col: str,
+    capped: DataFrame | None = None,
 ) -> DataFrame:
     """Stage metrics (VALIDATION_METHODS.md:253-264 analogues): unique ratio,
-    LSH hit rate (verified/candidates), cluster stats."""
+    LSH hit rate (verified/candidates), cluster stats, and the no-silent-caps
+    accounting (buckets hub-capped + pairs elided)."""
     n_files = files_sha.count()
     n_unique = index.count()
     n_cand = candidates.count()
     n_ver = verified.count()
     n_clusters = clusters.select("cluster_id").distinct().count()
+    n_capped, elided = 0, 0
+    if capped is not None:
+        row = capped.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("pairs_elided"), F.lit(0)).alias("e")
+        ).first()
+        n_capped, elided = int(row["n"]), int(row["e"])
     return spark.createDataFrame(
         [
             {
@@ -196,6 +219,8 @@ def _metrics_row(
                 "n_verified_pairs": n_ver,
                 "lsh_hit_rate": round(n_ver / max(n_cand, 1), 6),
                 "n_clusters": n_clusters,
+                "n_capped_buckets": n_capped,
+                "pairs_elided_by_cap": elided,
             }
         ]
     )

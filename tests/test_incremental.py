@@ -1,0 +1,69 @@
+"""Incremental-ingest mode: batch 2 must not recompute batch 1, exact hits
+become pointers, and cross-batch near-dups are found."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hmse_spark.corpus import CorpusSpec, generate_corpus, corpus_to_spark
+from hmse_spark.operators import exact_dedup, lsh
+from hmse_spark.operators.fused import add_fused_signatures
+from hmse_spark.plans.incremental import ingest_increment
+from hmse_spark.plans.pipeline import run_near_dup_pipeline
+
+
+def test_incremental_ingest(spark):
+    c = generate_corpus(CorpusSpec(n_files=200))
+    df = corpus_to_spark(spark, c).cache()
+    batch1 = df.filter(F.col("file_id") < 120).cache()
+    batch2 = df.filter(F.col("file_id") >= 120).cache()
+
+    # build "existing" state from batch 1
+    b1 = exact_dedup.with_sha(batch1, "content", "file_sha")
+    index1 = exact_dedup.build_index(b1, "file_sha", "file_id").cache()
+    reps1 = b1.join(index1.select(F.col("canonical_id").alias("file_id")), "file_id")
+    sigs1 = add_fused_signatures(reps1, "content", variants=("minhash",)).select(
+        "file_id", "sig", "bands"
+    )
+    bands1 = lsh.explode_bands(sigs1).cache()
+
+    res = ingest_increment(spark, batch2, index1, bands1)
+
+    # every batch-2 file whose content existed in batch 1 is a pointer row
+    shas1 = {r["file_sha"] for r in index1.collect()}
+    b2 = exact_dedup.with_sha(batch2, "content", "file_sha")
+    expected_ptrs = {r["file_id"] for r in b2.collect() if r["file_sha"] in shas1}
+    got_ptrs = {r["file_id"] for r in res.pointer_rows.collect()}
+    assert got_ptrs == expected_ptrs
+
+    # signatures were computed ONLY for unseen contents
+    assert res.new_signatures.count() <= batch2.count() - len(expected_ptrs)
+
+    # cross-batch near-dup pairs: compare against a full-corpus run (minhash
+    # variant only) restricted to pairs touching batch 2
+    full = run_near_dup_pipeline(spark, df, variants=("minhash",), with_metrics=False)
+    full_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in full.candidate_pairs.collect()
+    }
+    # restrict to pairs where at least one endpoint is an unseen batch-2 rep
+    new_ids = {r["file_id"] for r in res.new_signatures.collect()}
+    expect = {p for p in full_pairs if p[0] in new_ids or p[1] in new_ids}
+    got = {(r["id_a"], r["id_b"]) for r in res.new_candidate_pairs.collect()}
+    assert expect <= got, f"missing cross-batch pairs: {sorted(expect - got)[:5]}"
+
+
+def test_pipeline_with_sa_variant(spark):
+    from hmse_spark.config import PipelineConfig
+
+    cfg = PipelineConfig(substr_partition_bytes=8 << 20)
+    c = generate_corpus(CorpusSpec(n_files=80))
+    df = corpus_to_spark(spark, c)
+    res = run_near_dup_pipeline(
+        spark, df, cfg=cfg, variants=("minhash", "substr_sa"), with_metrics=False
+    )
+    labels = {r["file_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    dup_pairs = [(p["id_a"], p["id_b"]) for p in c.truth_pairs if p["is_dup"]]
+    hit = sum(1 for a, b in dup_pairs if labels[a] == labels[b])
+    assert hit / len(dup_pairs) >= 0.95
