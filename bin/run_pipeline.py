@@ -75,6 +75,18 @@ def main(argv: list[str] | None = None) -> None:
             "file_id",
             F.xxhash64(F.concat_ws("\x1f", "repo", "path", "commit")),
         )
+        # 64-bit ids birthday-collide in bulk around ~2^32 rows; a collision
+        # silently merges two files in dedup output, so fail loudly instead.
+        # Corpora at that scale should carry an explicit collision-free
+        # file_id column (or a 128-bit composite) in the source table.
+        ids = files.agg(
+            F.count("*").alias("n"), F.countDistinct("file_id").alias("d")
+        ).first()
+        if ids["n"] != ids["d"]:
+            raise RuntimeError(
+                f"synthesized file_id collided ({ids['n'] - ids['d']} dup ids); "
+                "provide an explicit unique file_id column in the input"
+            )
 
     mgr = CheckpointManager(spark, args.output)
     res = run_near_dup_pipeline(
@@ -90,10 +102,16 @@ def main(argv: list[str] | None = None) -> None:
     if args.chunk_store:
         from hmse_spark.plans.chunkstore import build_chunk_store
 
-        store = build_chunk_store(spark, files, cfg)
-        mgr.get_or_compute("chunk_records", lambda: store.records)
-        mgr.get_or_compute("chunk_store_metrics", lambda: store.metrics)
-        print(f"chunk store metrics: {store.metrics.first().asDict()}")
+        # build_chunk_store executes eagerly (metrics counts inside), so gate
+        # it on the checkpoint BEFORE running — a resumed job must not redo
+        # the whole L1-L4 store
+        if mgr.has("chunk_records") and mgr.has("chunk_store_metrics"):
+            metrics_df = mgr.read("chunk_store_metrics")
+        else:
+            store = build_chunk_store(spark, files, cfg)
+            mgr.get_or_compute("chunk_records", lambda: store.records)
+            metrics_df = mgr.get_or_compute("chunk_store_metrics", lambda: store.metrics)
+        print(f"chunk store metrics: {metrics_df.first().asDict()}")
 
     spark.stop()
 

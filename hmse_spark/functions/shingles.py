@@ -33,15 +33,32 @@ def shingles_u32(data: bytes, k: int = 4) -> np.ndarray:
 
 
 def shingle_set_u32(data: bytes, k: int = 4) -> np.ndarray:
-    """Sorted unique shingles — the *set* MinHash and Jaccard operate on."""
+    """Sorted unique shingles — the *set* MinHash and Jaccard operate on.
+
+    Sub-shingle inputs (0 < len < 4 bytes) get ONE synthetic shingle derived
+    from the padded bytes + length tag. Without this, every tiny file shares
+    the empty shingle set: MinHash sentinels collide, Jaccard(empty, empty)
+    reads 1.0, and distinct 1-3-byte files get merged as 'duplicates'. With
+    it, tiny files collide only when byte-identical — matching the exact-
+    dedup semantics that should govern them. Inputs >= 4 bytes are unchanged.
+    """
+    if 0 < len(data) < k:
+        padded = data.ljust(k, b"\x87")
+        val = int.from_bytes(padded, "little") ^ (len(data) << 28)
+        return np.array([val], dtype=np.uint32)
     return np.unique(shingles_u32(data, k))
 
 
 def jaccard_4gram(a: bytes, b: bytes) -> float:
-    """Exact Jaccard over 4-byte shingle sets (ground-truth / verify path)."""
+    """Exact Jaccard over 4-byte shingle sets (ground-truth / verify path).
+
+    Both-empty inputs are equal sets only if the raw bytes are equal (i.e.
+    both are the empty document) — J is 1.0 there and 0.0 against anything
+    non-empty.
+    """
     sa, sb = shingle_set_u32(a), shingle_set_u32(b)
     if sa.size == 0 and sb.size == 0:
-        return 1.0
+        return 1.0 if a == b else 0.0
     if sa.size == 0 or sb.size == 0:
         return 0.0
     inter = np.intersect1d(sa, sb, assume_unique=True).size

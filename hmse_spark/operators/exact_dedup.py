@@ -62,8 +62,9 @@ def classify_records(
     """Tag every unit as canonical ('full') or duplicate ('pointer' to the
     canonical id) — the reference's Full/Pointer record kinds
     (README.md:1635-1674). Delta records are added later by the L4 stage."""
+    # join strategy is left to Catalyst/AQE (autoBroadcastJoinThreshold)
     idx = index.select(sha_col, "canonical_id")
-    joined = units.join(F.broadcast(idx) if _small(index) else idx, on=sha_col, how="left")
+    joined = units.join(idx, on=sha_col, how="left")
     return joined.withColumn(
         "kind",
         F.when(F.col(id_col) == F.col("canonical_id"), F.lit("full")).otherwise(F.lit("pointer")),
@@ -73,13 +74,6 @@ def classify_records(
             F.col("canonical_id")
         ),
     )
-
-
-def _small(df: DataFrame) -> bool:
-    """Heuristic: let AQE/broadcast thresholds decide; only force broadcast
-    when the plan statistics clearly allow it. Conservative default False —
-    Catalyst's autoBroadcastJoinThreshold handles the real decision."""
-    return False
 
 
 def dedup_stats(units: DataFrame, sha_col: str = "sha", bytes_col: str = "n_bytes") -> DataFrame:

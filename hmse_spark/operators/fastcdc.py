@@ -142,12 +142,17 @@ def make_fastcdc_udf(cfg: PipelineConfig = DEFAULT):
     """Series->Series pandas UDF: content string -> array of chunk structs."""
     from pyspark.sql.functions import pandas_udf
 
+    def to_bytes(s) -> bytes:
+        if s is None:
+            return b""
+        return s if isinstance(s, (bytes, bytearray)) else s.encode()
+
     @pandas_udf(CHUNKS_SCHEMA)
     def fastcdc_chunks(content: pd.Series) -> pd.Series:
         return content.map(
             lambda s: [
                 {"offset": off, "length": ln, "chunk_sha": sha}
-                for off, ln, sha in chunk_meta_of(s.encode(), cfg)
+                for off, ln, sha in chunk_meta_of(to_bytes(s), cfg)
             ]
         )
 
@@ -185,7 +190,9 @@ def slice_chunk_bytes_udf():
 
     @pandas_udf("binary")
     def slice_bytes(content: pd.Series, offset: pd.Series, length: pd.Series) -> pd.Series:
-        enc = content.map(lambda s: s.encode() if isinstance(s, str) else s)
+        enc = content.map(
+            lambda s: b"" if s is None else (s if isinstance(s, (bytes, bytearray)) else s.encode())
+        )
         return pd.Series(
             [b[o : o + l] for b, o, l in zip(enc, offset.astype(int), length.astype(int))]
         )

@@ -18,11 +18,15 @@ Skew strategy (explicit, per north_rule):
 - AQE skew-join splitting is enabled globally (session.py);
 - buckets larger than ``cfg.max_bucket_size`` are NOT expanded quadratically.
   Each oversized bucket contributes a *hub star* instead: every member pairs
-  with the bucket's min-id member. This preserves the connected component
-  exactly (all members stay reachable through the hub) while bounding the
-  bucket's pair count to m-1 — the clustering result is unchanged, only
-  per-pair Jaccard verification granularity inside mega-buckets is coarsened.
-  Capped buckets are *counted and reported*, never silently dropped.
+  with the bucket's min-id member, bounding the bucket's pair count to m-1.
+  This preserves connectivity of the CANDIDATE graph exactly; after Jaccard
+  verification, a member-member edge whose hub edges both fail the threshold
+  is lost. For honest MinHash data that regime is vanishingly rare — bucket
+  membership means an entire r=32-value band matched, which at Jaccard s has
+  probability s^32 (< 1e-16 at s=0.3), so mega-bucket members are near-
+  identical to each other and to the hub. The elided pair count is still
+  *reported* per bucket (``capped_bucket_report`` and the pipeline metrics
+  row), never silently dropped, so the trade is auditable.
 """
 
 from __future__ import annotations

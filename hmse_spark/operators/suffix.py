@@ -221,7 +221,8 @@ def suffix_array_pairs(
         ids = pdf[id_col].tolist()
         budget = cfg.substr_partition_bytes
         contents = [
-            (s.encode() if isinstance(s, str) else s)[:budget] for s in pdf[content_col]
+            (b"" if s is None else (s.encode() if isinstance(s, str) else bytes(s)))[:budget]
+            for s in pdf[content_col]
         ]
         return pd.DataFrame(_pairs_in_group(ids, contents, cfg), columns=["id_a", "id_b"])
 

@@ -140,7 +140,7 @@ def ablation_metrics(
 
     @F.pandas_udf("long")
     def deflate_len(content: pd.Series) -> pd.Series:
-        return content.map(lambda s: len(delta_op.deflate(s.encode())))
+        return content.map(lambda s: len(delta_op.deflate((s or "").encode())))
 
     l1_stored = files.agg(F.sum(deflate_len(F.col(content_col)))).first()[0]
 
@@ -217,6 +217,11 @@ def reconstruct_and_verify(
         )
     )
     orig = files.select(id_col, F.sha2(F.col(content_col), 256).alias("orig_sha"))
-    return assembled.join(orig, id_col).select(
-        id_col, (F.col("rebuilt_sha") == F.col("orig_sha")).alias("ok")
+    # LEFT join from the originals: a zero-chunk (empty) file has no rows in
+    # the store and trivially reconstructs to the empty string — it must
+    # still appear in the fidelity report rather than silently vanish
+    empty_sha = F.sha2(F.lit(""), 256)
+    return orig.join(assembled, id_col, "left").select(
+        id_col,
+        (F.coalesce(F.col("rebuilt_sha"), empty_sha) == F.col("orig_sha")).alias("ok"),
     )

@@ -47,8 +47,8 @@ def ingest_increment(
 ) -> IncrementalResult:
     new_sha = exact_dedup.with_sha(new_files, content_col, "file_sha")
 
-    # exact hits -> pointer rows, zero L4 work (the index probe, as a join)
-    pointer_rows = new_sha.join(
+    # exact hits against the PERSISTED index -> pointer rows, zero L4 work
+    external_ptrs = new_sha.join(
         existing_index.select("file_sha", F.col("canonical_id").alias("base_id")),
         "file_sha",
     ).select(id_col, "file_sha", "base_id")
@@ -58,6 +58,19 @@ def ingest_increment(
     unseen = new_sha.join(existing_index.select("file_sha"), "file_sha", "left_anti")
     batch_index = exact_dedup.build_index(unseen, "file_sha", id_col)
     reps = unseen.join(batch_index.select(F.col("canonical_id").alias(id_col)), id_col)
+
+    # WITHIN-batch duplicates are pointer rows too (base = batch canonical);
+    # without these a second copy arriving in the same batch would vanish
+    # from every output
+    internal_ptrs = (
+        unseen.join(
+            batch_index.select("file_sha", F.col("canonical_id").alias("base_id")),
+            "file_sha",
+        )
+        .filter(F.col(id_col) != F.col("base_id"))
+        .select(id_col, "file_sha", "base_id")
+    )
+    pointer_rows = external_ptrs.unionByName(internal_ptrs)
 
     sigs = add_fused_signatures(reps, content_col, cfg, ("minhash",)).select(
         id_col, "file_sha", "sig", "bands"

@@ -20,19 +20,25 @@ def test_pipeline_with_empty_and_tiny_files(spark):
         (4, "r", "p4", "c", "python", "real content here " * 200),
         (5, "r", "p5", "c", "python", "real content here " * 200),
         (6, "r", "p6", "c", "python", "totally different stuff " * 150),
+        (7, "r", "p7", "c", "python", "xy"),      # DISTINCT sub-shingle file
     ]
     df = spark.createDataFrame(
         rows, "file_id long, repo string, path string, commit string, lang string, content string"
     )
     res = run_near_dup_pipeline(spark, df, with_metrics=False)
     labels = {r["file_id"]: r["cluster_id"] for r in res.clusters.collect()}
-    assert set(labels) == set(range(7))
+    assert set(labels) == set(range(8))
     assert labels[0] == labels[1]  # empty == empty (exact dup edge)
     assert labels[2] == labels[3]  # identical sub-shingle files
     assert labels[4] == labels[5]
     assert labels[6] not in (labels[0], labels[4])
     # empties must not merge with real content
     assert labels[0] != labels[4]
+    # distinct tiny files must NOT merge: 'ab' vs 'xy' vs '' are different
+    # contents even though none has a 4-gram shingle
+    assert labels[7] != labels[2]
+    assert labels[7] != labels[0]
+    assert labels[2] != labels[0]
 
 
 def test_chunkstore_with_empty_files(spark):
@@ -41,9 +47,9 @@ def test_chunkstore_with_empty_files(spark):
     store = build_chunk_store(spark, df)
     ver = reconstruct_and_verify(spark, df, store)
     got = {r["file_id"]: r["ok"] for r in ver.collect()}
-    # empty file has zero chunks -> vacuously absent from reconstruction;
-    # non-empty files must round-trip
-    assert got.get(1, False) and got.get(2, False)
+    # the empty file has zero chunks but must still appear in the fidelity
+    # report and reconstruct (to the empty string); all files round-trip
+    assert got == {0: True, 1: True, 2: True}
 
 
 def test_single_file_corpus(spark):

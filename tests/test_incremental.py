@@ -30,15 +30,24 @@ def test_incremental_ingest(spark):
 
     res = ingest_increment(spark, batch2, index1, bands1)
 
-    # every batch-2 file whose content existed in batch 1 is a pointer row
+    # pointer rows = external hits (content in batch 1) + within-batch dups
     shas1 = {r["file_sha"] for r in index1.collect()}
-    b2 = exact_dedup.with_sha(batch2, "content", "file_sha")
-    expected_ptrs = {r["file_id"] for r in b2.collect() if r["file_sha"] in shas1}
+    b2_rows = exact_dedup.with_sha(batch2, "content", "file_sha").collect()
+    external = {r["file_id"] for r in b2_rows if r["file_sha"] in shas1}
+    first_seen: dict[str, int] = {}
+    internal = set()
+    for r in sorted(b2_rows, key=lambda r: r["file_id"]):
+        if r["file_sha"] in shas1:
+            continue
+        if r["file_sha"] in first_seen:
+            internal.add(r["file_id"])
+        else:
+            first_seen[r["file_sha"]] = r["file_id"]
     got_ptrs = {r["file_id"] for r in res.pointer_rows.collect()}
-    assert got_ptrs == expected_ptrs
+    assert got_ptrs == external | internal
 
-    # signatures were computed ONLY for unseen contents
-    assert res.new_signatures.count() <= batch2.count() - len(expected_ptrs)
+    # signatures were computed ONLY for unseen batch canonicals
+    assert res.new_signatures.count() == len(first_seen)
 
     # cross-batch near-dup pairs: compare against a full-corpus run (minhash
     # variant only) restricted to pairs touching batch 2

@@ -43,10 +43,14 @@ def test_identical_content_identical_signature():
     assert (bands[0] == bands[1]).all()
 
 
-def test_empty_content_sentinel():
-    sig = minhash.minhash_batch([b"", b"abc", b"abcd"])
-    assert (sig[0] == 0xFFFFFFFF).all()
-    assert (sig[1] == 0xFFFFFFFF).all()  # < 4 bytes: no shingles
+def test_empty_and_tiny_content_signatures():
+    sig = minhash.minhash_batch([b"", b"abc", b"abcd", b"abc", b"xyz"])
+    assert (sig[0] == 0xFFFFFFFF).all()          # truly empty -> sentinel
+    # 1-3 byte inputs get a synthetic shingle: real signatures, equal only
+    # for byte-identical content (distinct tiny files must not collide)
+    assert not (sig[1] == 0xFFFFFFFF).all()
+    assert (sig[1] == sig[3]).all()
+    assert not (sig[1] == sig[4]).all()
     assert not (sig[2] == 0xFFFFFFFF).all()
 
 
