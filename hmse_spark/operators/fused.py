@@ -28,15 +28,26 @@ FUSED_SCHEMA = (
 )
 
 
-def make_fused_udf(cfg: PipelineConfig = DEFAULT, variants: tuple[str, ...] = ("minhash", "simhash", "substr")):
+def make_fused_udf(
+    cfg: PipelineConfig = DEFAULT,
+    variants: tuple[str, ...] = ("minhash", "simhash", "substr"),
+    spark=None,
+):
+    """When a SparkSession is supplied, the signature parameter table (the
+    frozen config incl. the 128-seed dictionary) ships as an EXPLICIT
+    ``SparkContext.broadcast`` consumed inside the UDF (north_rule: broadcast
+    made explicit, not inherited from closure capture). Without a session the
+    config is closed over — same values, used by local/numpy tests."""
     from pyspark.sql.functions import pandas_udf
 
     want_min = "minhash" in variants
     want_sim = "simhash" in variants
     want_sub = "substr" in variants
+    bc_cfg = spark.sparkContext.broadcast(cfg) if spark is not None else None
 
     @pandas_udf(FUSED_SCHEMA)
     def fused_signatures(content: pd.Series) -> pd.DataFrame:
+        ecfg = bc_cfg.value if bc_cfg is not None else cfg
         contents = [
             c if isinstance(c, (bytes, bytearray)) else ("" if c is None else c).encode()
             for c in content
@@ -44,23 +55,23 @@ def make_fused_udf(cfg: PipelineConfig = DEFAULT, variants: tuple[str, ...] = ("
         n = len(contents)
         out: dict = {}
         if want_min:
-            sig = minhash_batch(contents, cfg)
-            bands = band_hash_batch(sig, cfg)
+            sig = minhash_batch(contents, ecfg)
+            bands = band_hash_batch(sig, ecfg)
             out["sig"] = list(sig.view(np.int32).reshape(sig.shape))
             out["bands"] = list(bands)
         else:
             out["sig"] = [None] * n
             out["bands"] = [None] * n
         if want_sim:
-            fp = simhash_batch(contents, cfg)
+            fp = simhash_batch(contents, ecfg)
             out["simhash"] = fp.view(np.int64)
-            out["sim_bands"] = list(simhash_bands(fp, cfg))
+            out["sim_bands"] = list(simhash_bands(fp, ecfg))
         else:
             out["simhash"] = [None] * n
             out["sim_bands"] = [None] * n
         if want_sub:
             out["anchor_fps"] = [
-                anchor_fingerprints(c, cfg).view(np.int64).tolist() for c in contents
+                anchor_fingerprints(c, ecfg).view(np.int64).tolist() for c in contents
             ]
         else:
             out["anchor_fps"] = [None] * n
@@ -75,7 +86,7 @@ def add_fused_signatures(
     cfg: PipelineConfig = DEFAULT,
     variants: tuple[str, ...] = ("minhash", "simhash", "substr"),
 ) -> DataFrame:
-    udf = make_fused_udf(cfg, variants)
+    udf = make_fused_udf(cfg, variants, spark=df.sparkSession)
     out = df.withColumn("_f", udf(F.col(content_col)))
     for c in ("sig", "bands", "simhash", "sim_bands", "anchor_fps"):
         out = out.withColumn(c, F.col(f"_f.{c}"))
