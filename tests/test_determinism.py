@@ -1,0 +1,36 @@
+"""Determinism (VALIDATION_METHODS.md:115-128): identical inputs + seeds =>
+bitwise-identical outputs, across runs and across parallelism levels."""
+
+from __future__ import annotations
+
+from hmse_spark.corpus import CorpusSpec, generate_corpus, corpus_to_spark
+from hmse_spark.plans.pipeline import run_near_dup_pipeline
+
+
+def _labels(spark, df, parts):
+    res = run_near_dup_pipeline(
+        spark, df.repartition(parts, "file_id"), with_metrics=False
+    )
+    return {r["file_id"]: r["cluster_id"] for r in res.clusters.collect()}
+
+
+def _pairs(spark, df, parts):
+    res = run_near_dup_pipeline(
+        spark, df.repartition(parts, "file_id"), with_metrics=False
+    )
+    return {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in res.verified_pairs.collect()
+    }
+
+
+def test_pipeline_run_to_run_and_partitioning_invariant(spark):
+    c = generate_corpus(CorpusSpec(n_files=120))
+    df = corpus_to_spark(spark, c).cache()
+    l1 = _labels(spark, df, 4)
+    l2 = _labels(spark, df, 4)     # same partitioning, second run
+    l3 = _labels(spark, df, 17)    # different partition count
+    assert l1 == l2 == l3
+    p1 = _pairs(spark, df, 4)
+    p2 = _pairs(spark, df, 17)
+    assert p1 == p2

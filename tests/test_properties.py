@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the numpy kernels: invariants that
+must hold for ARBITRARY byte inputs, not just the seeded fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+from hmse_spark.functions.shingles import jaccard_4gram, shingle_set_u32
+from hmse_spark.operators import fastcdc
+from hmse_spark.operators.minhash import band_hash_batch, minhash_batch
+from hmse_spark.operators.simhash import simhash_batch
+
+BYTES = st.binary(min_size=0, max_size=30_000)
+
+
+@settings(max_examples=60, deadline=None)
+@given(BYTES)
+def test_boundaries_partition_input(data):
+    cuts = fastcdc.boundaries(data)
+    if len(data) == 0:
+        assert cuts == []
+        return
+    assert cuts[-1] == len(data)
+    sizes = np.diff([0] + cuts)
+    assert (sizes > 0).all()
+    assert (sizes <= DEFAULT.cdc_max_size).all()
+    if len(sizes) > 1:
+        assert (sizes[:-1] >= DEFAULT.cdc_min_size).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(BYTES, st.integers(min_value=0, max_value=200))
+def test_boundaries_content_defined(data, prefix_len):
+    """Chunk hashes after the resync point are a suffix-invariant of content:
+    prepending bytes never changes the LAST chunk hashes (beyond O(1) head)."""
+    if len(data) < 5000:
+        return
+    prefix = bytes(range(256))[:prefix_len]
+    a = [m[2] for m in fastcdc.chunk_meta_of(data)]
+    b = [m[2] for m in fastcdc.chunk_meta_of(prefix + data)]
+    k = min(len(a), len(b)) - 3
+    if k > 0:
+        assert a[-k:] == b[-k:]
+
+
+@settings(max_examples=60, deadline=None)
+@given(BYTES, BYTES)
+def test_jaccard_symmetry_and_bounds(a, b):
+    j = jaccard_4gram(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == jaccard_4gram(b, a)
+    assert jaccard_4gram(a, a) == 1.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(BYTES, min_size=1, max_size=8))
+def test_minhash_deterministic_and_batch_invariant(contents):
+    """Signatures are a pure function of content — independent of batch
+    composition or position."""
+    full = minhash_batch(contents)
+    for i, c in enumerate(contents):
+        solo = minhash_batch([c])
+        np.testing.assert_array_equal(full[i], solo[0])
+    bands = band_hash_batch(full)
+    assert bands.shape == (len(contents), DEFAULT.num_bands)
+
+
+@settings(max_examples=30, deadline=None)
+@given(BYTES, BYTES)
+def test_identical_iff_equal_for_tiny(a, b):
+    """For sub-shingle inputs, signatures collide iff bytes are equal."""
+    if len(a) >= 4 or len(b) >= 4:
+        return
+    sa = minhash_batch([a])[0]
+    sb = minhash_batch([b])[0]
+    if a == b:
+        assert (sa == sb).all()
+    elif len(a) > 0 and len(b) > 0:
+        assert not (sa == sb).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(BYTES, min_size=1, max_size=6))
+def test_simhash_batch_invariant(contents):
+    full = simhash_batch(contents)
+    for i, c in enumerate(contents):
+        assert simhash_batch([c])[0] == full[i]
