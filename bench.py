@@ -65,9 +65,17 @@ def main() -> None:
 
     # signature + band-hash hot path on the synthetic source-code corpus
     # (generated once, cached as parquet across bench runs)
+    import hashlib
     import tempfile
 
-    cache = os.path.join(tempfile.gettempdir(), f"hmse_bench_corpus_{HOTPATH_FILES}")
+    # cache key must include a generator fingerprint: a stale parquet after a
+    # corpus-semantics change would silently benchmark different data
+    gen_src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "hmse_spark", "corpus.py")
+    with open(gen_src, "rb") as fh:
+        gen_tag = hashlib.sha256(fh.read()).hexdigest()[:12]
+    cache = os.path.join(
+        tempfile.gettempdir(), f"hmse_bench_corpus_{HOTPATH_FILES}_s42_{gen_tag}"
+    )
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         corpus = generate_corpus(CorpusSpec(n_files=HOTPATH_FILES, seed=42))
         corpus_to_spark(spark, corpus).write.mode("overwrite").parquet(cache)

@@ -69,6 +69,8 @@ def main(argv: list[str] | None = None) -> None:
         overrides["max_bucket_size"] = args.max_bucket_size
     cfg = dataclasses.replace(DEFAULT, **overrides) if overrides else DEFAULT
 
+    mgr = CheckpointManager(spark, args.output)
+
     files = load_iceberg_or_parquet(spark, args.input)
     if "file_id" not in files.columns:
         files = files.withColumn(
@@ -79,16 +81,16 @@ def main(argv: list[str] | None = None) -> None:
         # silently merges two files in dedup output, so fail loudly instead.
         # Corpora at that scale should carry an explicit collision-free
         # file_id column (or a 128-bit composite) in the source table.
-        ids = files.agg(
-            F.count("*").alias("n"), F.countDistinct("file_id").alias("d")
-        ).first()
-        if ids["n"] != ids["d"]:
-            raise RuntimeError(
-                f"synthesized file_id collided ({ids['n'] - ids['d']} dup ids); "
-                "provide an explicit unique file_id column in the input"
-            )
-
-    mgr = CheckpointManager(spark, args.output)
+        # Skipped on resume: the first run already validated this input.
+        if not mgr.has("files_sha"):
+            ids = files.agg(
+                F.count("*").alias("n"), F.countDistinct("file_id").alias("d")
+            ).first()
+            if ids["n"] != ids["d"]:
+                raise RuntimeError(
+                    f"synthesized file_id collided ({ids['n'] - ids['d']} dup ids); "
+                    "provide an explicit unique file_id column in the input"
+                )
     res = run_near_dup_pipeline(
         spark,
         files,

@@ -48,6 +48,10 @@ def connected_components(
     hidden. 200k edges x 16 bytes ~ 3 MB on the driver — safe by two orders
     of magnitude against driver memory.
     """
+    # persist BEFORE counting: the adaptive size probe must not re-execute
+    # the (potentially expensive, UDF-bearing) upstream edge plan a second
+    # time on whichever path consumes the edges next
+    edges = edges.persist()
     n_edges = edges.count()
     if n_edges <= local_threshold:
         return _local_cc(edges)

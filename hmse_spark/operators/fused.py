@@ -28,26 +28,52 @@ FUSED_SCHEMA = (
 )
 
 
+_BC_CACHE: dict = {}
+
+
+def _broadcast_cfg(spark, cfg: PipelineConfig):
+    """One broadcast per (SparkContext, cfg) — repeated UDF construction must
+    not leak a new broadcast each call."""
+    key = (spark.sparkContext.applicationId, cfg)
+    bc = _BC_CACHE.get(key)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(cfg)
+        _BC_CACHE[key] = bc
+    return bc
+
+
 def make_fused_udf(
     cfg: PipelineConfig = DEFAULT,
     variants: tuple[str, ...] = ("minhash", "simhash", "substr"),
     spark=None,
 ):
     """When a SparkSession is supplied, the signature parameter table (the
-    frozen config incl. the 128-seed dictionary) ships as an EXPLICIT
-    ``SparkContext.broadcast`` consumed inside the UDF (north_rule: broadcast
-    made explicit, not inherited from closure capture). Without a session the
-    config is closed over — same values, used by local/numpy tests."""
+    frozen config incl. the 128-seed dictionary) ships as an EXPLICIT,
+    cached ``SparkContext.broadcast``; the UDF closure captures only the
+    broadcast handle (``get_cfg``), never the config object itself, so the
+    parameters travel via the broadcast mechanism rather than per-task
+    pickling. Without a session the config is closed over directly — same
+    values, used by local/numpy tests."""
     from pyspark.sql.functions import pandas_udf
 
     want_min = "minhash" in variants
     want_sim = "simhash" in variants
     want_sub = "substr" in variants
-    bc_cfg = spark.sparkContext.broadcast(cfg) if spark is not None else None
+    if spark is not None:
+        bc_cfg = _broadcast_cfg(spark, cfg)
+
+        def get_cfg() -> PipelineConfig:
+            return bc_cfg.value
+
+    else:
+        local_cfg = cfg
+
+        def get_cfg() -> PipelineConfig:
+            return local_cfg
 
     @pandas_udf(FUSED_SCHEMA)
     def fused_signatures(content: pd.Series) -> pd.DataFrame:
-        ecfg = bc_cfg.value if bc_cfg is not None else cfg
+        ecfg = get_cfg()
         contents = [
             c if isinstance(c, (bytes, bytearray)) else ("" if c is None else c).encode()
             for c in content

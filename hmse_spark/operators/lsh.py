@@ -50,22 +50,31 @@ def bucket_sizes(band_df: DataFrame) -> DataFrame:
     return band_df.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_size"))
 
 
-def candidate_pairs(
-    band_df: DataFrame,
-    cfg: PipelineConfig = DEFAULT,
-) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) from band collisions.
-
-    Bucket sizes come from a window count over (band_id, band_hash) — ONE
-    shuffle of the band table (a groupBy+join-back would shuffle it twice),
-    after which the annotated table is already hash-partitioned on the join
-    key, so the small-bucket self-join and the hub aggregation reuse the
-    exchange. AQE's skew-join split handles residual imbalance.
-    """
+def annotate_bucket_sizes(band_df: DataFrame) -> DataFrame:
+    """Band table + bucket_size via a window count over (band_id, band_hash)
+    — ONE shuffle of the band table (a groupBy+join-back would shuffle it
+    twice), after which the result is hash-partitioned on the join key, so
+    the small-bucket self-join, the hub aggregation, AND the capped-bucket
+    report all reuse the same exchange."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_id", "band_hash")
-    annotated = band_df.withColumn("bucket_size", F.count("*").over(w))
+    return band_df.withColumn("bucket_size", F.count("*").over(w))
+
+
+def candidate_pairs(
+    band_df: DataFrame,
+    cfg: PipelineConfig = DEFAULT,
+    annotated: DataFrame | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from band collisions.
+
+    Pass a pre-computed ``annotate_bucket_sizes`` result to share its single
+    shuffle with other consumers (e.g. the capped-bucket report). AQE's
+    skew-join split handles residual imbalance.
+    """
+    if annotated is None:
+        annotated = annotate_bucket_sizes(band_df)
     annotated = annotated.filter(F.col("bucket_size") > 1)
 
     small = annotated.filter(F.col("bucket_size") <= cfg.max_bucket_size)
@@ -93,16 +102,25 @@ def candidate_pairs(
     )
 
 
-def capped_bucket_report(band_df: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+def capped_bucket_report(
+    band_df: DataFrame | None = None,
+    cfg: PipelineConfig = DEFAULT,
+    annotated: DataFrame | None = None,
+) -> DataFrame:
     """Oversized-bucket accounting (bucket key, size, pairs elided by the hub
-    cap) — 'no silent caps': this table is persisted with the metrics."""
-    return (
-        bucket_sizes(band_df)
-        .filter(F.col("bucket_size") > cfg.max_bucket_size)
-        .withColumn(
-            "pairs_elided",
-            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2 - (F.col("bucket_size") - 1)).cast(
-                "long"
-            ),
+    cap) — 'no silent caps': this table is persisted with the metrics.
+    Prefer passing the shared ``annotate_bucket_sizes`` result: the report
+    then costs one map-side dedup over already-partitioned data instead of a
+    second full band-table shuffle."""
+    if annotated is not None:
+        sizes = annotated.select("band_id", "band_hash", "bucket_size").dropDuplicates(
+            ["band_id", "band_hash"]
         )
+    else:
+        sizes = bucket_sizes(band_df)
+    return sizes.filter(F.col("bucket_size") > cfg.max_bucket_size).withColumn(
+        "pairs_elided",
+        (
+            F.col("bucket_size") * (F.col("bucket_size") - 1) / 2 - (F.col("bucket_size") - 1)
+        ).cast("long"),
     )

@@ -20,8 +20,11 @@ per the north_rule):
    32 values as a 128-byte key, vectorized across units — computed in the
    same UDF so the hot path is a single narrow projection.
 
-Empty units (< 4 bytes => no shingles) get the sentinel signature
-0xFFFFFFFF^128: they collide only with other empty units.
+Truly empty units (0 bytes) get the sentinel signature 0xFFFFFFFF^128 and
+collide only with other empty units. Sub-shingle units (1-3 bytes) get a
+synthetic padded shingle (functions/shingles.py), so their signatures
+collide iff the raw bytes are equal — tiny files dedup by byte equality,
+never as spurious near-dups.
 
 Signatures are stored as array<int> (int32 two's-complement reinterpretation
 of the uint32 minima — order is irrelevant downstream, only equality is).

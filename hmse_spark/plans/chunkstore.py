@@ -216,7 +216,11 @@ def reconstruct_and_verify(
             ).alias("rebuilt_sha"),
         )
     )
-    orig = files.select(id_col, F.sha2(F.col(content_col), 256).alias("orig_sha"))
+    # NULL content is ingested as b'' by the chunker, so it must hash as ''
+    # here too — sha2(NULL) is NULL and would make ok neither true nor false
+    orig = files.select(
+        id_col, F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256).alias("orig_sha")
+    )
     # LEFT join from the originals: a zero-chunk (empty) file has no rows in
     # the store and trivially reconstructs to the empty string — it must
     # still appear in the fidelity report rather than silently vanish

@@ -76,10 +76,18 @@ def ingest_increment(
         id_col, "file_sha", "sig", "bands"
     )
     new_bands = lsh.explode_bands(sigs, id_col)
-    all_bands = (
-        new_bands if existing_band_rows is None else new_bands.unionByName(existing_band_rows)
-    )
-    pairs = lsh.candidate_pairs(all_bands, cfg)
+    if existing_band_rows is None:
+        touched = new_bands
+    else:
+        # per-batch cost must be proportional to the BATCH: restrict the
+        # persisted band table to buckets a new row actually touches (semi
+        # join on the bucket key) before any pair expansion — otherwise every
+        # historical bucket re-expands each batch
+        new_keys = new_bands.select("band_id", "band_hash").distinct()
+        touched = new_bands.unionByName(
+            existing_band_rows.join(new_keys, ["band_id", "band_hash"], "left_semi")
+        )
+    pairs = lsh.candidate_pairs(touched, cfg)
     # keep only pairs that involve a new unit — old-old pairs were already
     # emitted by previous batches
     new_ids = sigs.select(F.col(id_col).alias("id_a"))

@@ -86,11 +86,13 @@ def run_near_dup_pipeline(
     )
 
     pair_sets: list[DataFrame] = []
+    minhash_annotated = None
     if "minhash" in variants:
+        minhash_annotated = lsh.annotate_bucket_sizes(lsh.explode_bands(signatures, id_col))
         pair_sets.append(
             stage(
                 "pairs_minhash",
-                lambda: lsh.candidate_pairs(lsh.explode_bands(signatures, id_col), cfg),
+                lambda: lsh.candidate_pairs(None, cfg, annotated=minhash_annotated),
             ).select("id_a", "id_b")
         )
     if "simhash" in variants:
@@ -162,10 +164,10 @@ def run_near_dup_pipeline(
     metrics = None
     if with_metrics:
         capped = None
-        if "minhash" in variants:
+        if minhash_annotated is not None:
             capped = stage(
                 "capped_buckets",
-                lambda: lsh.capped_bucket_report(lsh.explode_bands(signatures, id_col), cfg),
+                lambda: lsh.capped_bucket_report(cfg=cfg, annotated=minhash_annotated),
             )
         metrics = stage(
             "metrics",
