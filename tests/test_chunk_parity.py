@@ -1,0 +1,67 @@
+"""Chunk-level L4 parity: the chunk store's near-dup stage (est-Jaccard over
+unique chunks) must match the single-node reference implementation applied to
+the same chunk bytes — the chunk-granularity analogue of the file-level
+parity gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hmse_spark.config import DEFAULT
+from hmse_spark.corpus import CorpusSpec, generate_corpus, corpus_to_spark
+from hmse_spark.operators import fastcdc, lsh, minhash, verify
+from tests import reference_impl as ref
+
+
+def test_chunk_level_l4_matches_reference(spark):
+    c = generate_corpus(CorpusSpec(n_files=80))
+    df = corpus_to_spark(spark, c)
+
+    # numpy side: chunk every file, dedup by sha, signature the unique bytes
+    chunk_bytes: dict[str, bytes] = {}
+    for r in c.rows:
+        data = r["content"].encode()
+        for off, ln, b in fastcdc.chunk_bytes_of(data):
+            import hashlib
+
+            chunk_bytes.setdefault(hashlib.sha256(b).hexdigest(), b)
+    shas = sorted(chunk_bytes)
+    contents = [chunk_bytes[s] for s in shas]
+    ids = list(range(len(shas)))
+    sig, bands = ref.ref_signatures(contents)
+    ref_pairs = ref.ref_candidate_pairs(bands, ids)
+    ref_ver = ref.ref_verified_pairs(sig, ref_pairs, ids, DEFAULT.jaccard_threshold)
+    ref_ver_shas = {(shas[a], shas[b]) for a, b in ref_ver}
+
+    # spark side: same stages as build_chunk_store's L4 section, keyed by sha
+    chunks = fastcdc.chunk_files(df)
+    index = chunks.groupBy("chunk_sha").agg(
+        F.min(F.struct("file_id", "chunk_idx", "offset", "length")).alias("canonical")
+    )
+    uniq = (
+        index.select(
+            "chunk_sha",
+            F.col("canonical.file_id").alias("file_id"),
+            F.col("canonical.offset").alias("offset"),
+            F.col("canonical.length").alias("length"),
+        )
+        .join(df.select("file_id", "content"), "file_id")
+        .withColumn(
+            "chunk_bytes",
+            fastcdc.slice_chunk_bytes_udf()(F.col("content"), F.col("offset"), F.col("length")),
+        )
+        .select("chunk_sha", "chunk_bytes")
+        .withColumn("chunk_uid", F.xxhash64("chunk_sha"))
+    )
+    sigs = minhash.add_signatures(uniq, "chunk_bytes").select("chunk_uid", "chunk_sha", "sig", "bands")
+    pairs = lsh.candidate_pairs(lsh.explode_bands(sigs, "chunk_uid"))
+    ver = verify.verified_pairs(pairs, sigs, "chunk_uid")
+    uid_to_sha = {r["chunk_uid"]: r["chunk_sha"] for r in sigs.select("chunk_uid", "chunk_sha").collect()}
+    got = {
+        tuple(sorted((uid_to_sha[r["id_a"]], uid_to_sha[r["id_b"]])))
+        for r in ver.collect()
+    }
+    expect = {tuple(sorted(p)) for p in ref_ver_shas}
+    assert got == expect
