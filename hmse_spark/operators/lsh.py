@@ -102,6 +102,62 @@ def candidate_pairs(
     )
 
 
+def salted_candidate_pairs(
+    band_df: DataFrame,
+    cfg: PipelineConfig = DEFAULT,
+    annotated: DataFrame | None = None,
+) -> DataFrame:
+    """Alternative oversized-bucket strategy: EXPLICIT SALTING instead of the
+    hub star.
+
+    Each oversized bucket is split into ceil(m / max_bucket_size) salt groups
+    by a deterministic hash of the unit id; pairs are generated within each
+    salt group (bounded <= cap(cap-1)/2 per group), and the per-group minima
+    link to the bucket's global minimum so the bucket stays one connected
+    component. Compared to the hub star this preserves most direct pairs
+    (useful when downstream verification is strict) at the cost of
+    O(m * cap / 2) pairs instead of m-1. Small buckets are identical to
+    ``candidate_pairs``.
+    """
+    if annotated is None:
+        annotated = annotate_bucket_sizes(band_df)
+    annotated = annotated.filter(F.col("bucket_size") > 1)
+
+    small = annotated.filter(F.col("bucket_size") <= cfg.max_bucket_size)
+    a = small.select("band_id", "band_hash", F.col("uid").alias("id_a"))
+    b = small.select("band_id", "band_hash", F.col("uid").alias("id_b"))
+    small_pairs = a.join(b, ["band_id", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
+
+    big = annotated.filter(F.col("bucket_size") > cfg.max_bucket_size).withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64("uid"),
+            F.ceil(F.col("bucket_size") / F.lit(cfg.max_bucket_size)).cast("long"),
+        ),
+    )
+    sa = big.select("band_id", "band_hash", "salt", F.col("uid").alias("id_a"))
+    sb = big.select("band_id", "band_hash", "salt", F.col("uid").alias("id_b"))
+    salted_within = sa.join(sb, ["band_id", "band_hash", "salt"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    # connect salt groups: each group's min uid pairs with the bucket min
+    group_min = big.groupBy("band_id", "band_hash", "salt").agg(F.min("uid").alias("gmin"))
+    bucket_min = big.groupBy("band_id", "band_hash").agg(F.min("uid").alias("bmin"))
+    links = (
+        group_min.join(bucket_min, ["band_id", "band_hash"])
+        .filter(F.col("gmin") != F.col("bmin"))
+        .select(
+            F.least("gmin", "bmin").alias("id_a"), F.greatest("gmin", "bmin").alias("id_b")
+        )
+    )
+    return (
+        small_pairs.select("id_a", "id_b")
+        .unionByName(salted_within.select("id_a", "id_b"))
+        .unionByName(links)
+        .distinct()
+    )
+
+
 def capped_bucket_report(
     band_df: DataFrame | None = None,
     cfg: PipelineConfig = DEFAULT,

@@ -168,3 +168,27 @@ def test_cc_local_and_distributed_agree(spark):
     a = {r["uid"]: r["cluster_id"] for r in cc.connected_components(df, local_threshold=10**9).collect()}
     b = {r["uid"]: r["cluster_id"] for r in cc.connected_components(df, local_threshold=0).collect()}
     assert a == b
+
+
+def test_salted_pairs_preserve_components_and_bound(spark):
+    """Explicit-salting strategy: oversized buckets split into bounded salt
+    groups, direct pairs preserved within groups, groups linked through the
+    bucket minimum — same components as the uncapped expansion, far fewer
+    pairs than m(m-1)/2."""
+    from tests.reference_impl import ref_clusters
+
+    cfg = PipelineConfig(max_bucket_size=10)
+    data = [(i, "identical content for everyone " * 40) for i in range(60)]
+    df = spark.createDataFrame(data, "file_id long, content string")
+    sig_df = minhash.add_signatures(df, cfg=cfg).select("file_id", "sig", "bands")
+    band_df = lsh.explode_bands(sig_df)
+    pairs = lsh.salted_candidate_pairs(band_df, cfg).cache()
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # one component spanning all 60 ids
+    ids = sorted({x for p in got for x in p})
+    lab = ref_clusters(ids, got)
+    assert set(lab) == set(range(60)) and set(lab.values()) == {0}
+    # bounded well below the quadratic 60*59/2 = 1770
+    assert len(got) < 60 * 10
+    # and each salt group contributed direct pairs (more than a pure hub star)
+    assert len(got) > 59
