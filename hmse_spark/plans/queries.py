@@ -543,6 +543,33 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.verified_pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@register("training_data_curation", None)
+def q_training_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation showcase: quality gate -> near-dup clustering ->
+    keep one canonical doc per cluster -> corpus stats. The composition a
+    100 TB training-data pipeline runs per snapshot."""
+    from hmse_spark.functions import text as T
+    from hmse_spark.plans.pipeline import run_near_dup_pipeline
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    scored = T.with_quality_signals(corpus, "content")
+    kept = scored.filter(F.col("quality_score") >= 0.3)
+    res = run_near_dup_pipeline(spark, kept, with_metrics=False)
+    canonical = res.clusters.filter(F.col("file_id") == F.col("cluster_id"))
+    survivors = kept.join(canonical.select("file_id"), "file_id")
+    return survivors.agg(
+        F.count("*").alias("n_survivors"),
+        F.sum(F.length("content")).alias("total_chars"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    ).crossJoin(
+        scored.agg(
+            F.count("*").alias("n_input"),
+            F.sum((F.col("quality_score") < 0.3).cast("long")).alias("n_quality_rejected"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7 minimum slice: scan -> sha256 invariant -> exact-dedup
     groups -> refcounts. Used by ``__spark_entry__.entry``."""
