@@ -29,8 +29,18 @@ from hmse_spark.functions.hashing import avalanche64
 from hmse_spark.functions.shingles import shingle_set_u32
 
 
+_TILE = 1 << 16  # shingles per tile: bounds the (tile, 64) bit matrix to
+                 # ~16 MB int32 regardless of Arrow batch size
+
+
 def simhash_batch(contents: list[bytes], cfg: PipelineConfig = DEFAULT) -> np.ndarray:
-    """(n_units,) uint64 SimHash fingerprints. Empty units hash to 0."""
+    """(n_units,) uint64 SimHash fingerprints. Empty units hash to 0.
+
+    Tiled like the MinHash kernel: the naive (n_shingles, 64) bit matrix is
+    unbounded in the batch size (256 B per shingle transient), which at large
+    Arrow batches or big documents risks per-worker OOM. Tiles accumulate
+    per-unit bit sums with bounded transients and identical results.
+    """
     n = len(contents)
     out = np.zeros(n, dtype=np.uint64)
     sets = [shingle_set_u32(c, cfg.shingle_k) for c in contents]
@@ -39,12 +49,19 @@ def simhash_batch(contents: list[bytes], cfg: PipelineConfig = DEFAULT) -> np.nd
     if nonempty.size == 0:
         return out
     flat = np.concatenate([sets[i] for i in nonempty]).astype(np.uint64)
-    h64 = avalanche64(flat)
-    # bits matrix via uint8 view + unpackbits: (n_shingles, 64) in {0,1}
-    bits = np.unpackbits(h64.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
     starts = np.zeros(nonempty.size, dtype=np.int64)
     np.cumsum(lens[nonempty][:-1], out=starts[1:])
-    sums = np.add.reduceat(bits.astype(np.int32), starts, axis=0)  # ones count
+    sums = np.zeros((nonempty.size, 64), dtype=np.int64)
+    total = flat.size
+    for t0 in range(0, total, _TILE):
+        t1 = min(t0 + _TILE, total)
+        h64 = avalanche64(flat[t0:t1])
+        bits = np.unpackbits(h64.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        d0 = int(np.searchsorted(starts, t0, side="right")) - 1
+        d1 = int(np.searchsorted(starts, t1, side="left"))
+        local = np.clip(starts[d0:d1], t0, t1 - 1) - t0
+        local[0] = 0
+        sums[d0:d1] += np.add.reduceat(bits.astype(np.int32), local, axis=0)
     counts = lens[nonempty][:, None]
     # bit set iff ones > zeros  <=>  2*ones > count
     fp_bits = (2 * sums > counts).astype(np.uint8)
