@@ -183,6 +183,9 @@ Reference single-node baseline: L4 MinHash+LSH projected ~1.2 MB/s
 the reference's projected end-to-end throughput, single machine.
 
 Reproduce: `python tools/bench_scaling.py --files {lo['files']} --n {lo['cpus']}`
+
+See also BENCH/STRESS.md (end-to-end production-entry stress + read-path
+fidelity) and BENCH/RECALL.md (large-corpus recall/precision spot check).
 """
         )
     print(f"wrote {md}")
