@@ -66,6 +66,11 @@ class PipelineConfig:
     max_bucket_size: int = 200    # buckets above this are capped (pairs vs a
                                   # bounded sample of canonical members) and the
                                   # overflow is logged, never silently dropped
+    skew_strategy: str = "hub"    # oversized-bucket handling: "hub" (star to
+                                  # bucket min, m-1 pairs) or "salt" (explicit
+                                  # salting: bounded salt-group self-joins
+                                  # linked through the bucket min, ~m*cap/2
+                                  # pairs, preserves direct-pair evidence)
     # Engine
     shuffle_partitions: int = 32
     corpus_seed: int = 42

@@ -71,8 +71,11 @@ def candidate_pairs(
 
     Pass a pre-computed ``annotate_bucket_sizes`` result to share its single
     shuffle with other consumers (e.g. the capped-bucket report). AQE's
-    skew-join split handles residual imbalance.
+    skew-join split handles residual imbalance. ``cfg.skew_strategy``
+    selects the oversized-bucket handling ("hub" star | "salt" groups).
     """
+    if cfg.skew_strategy == "salt":
+        return salted_candidate_pairs(band_df, cfg, annotated)
     if annotated is None:
         annotated = annotate_bucket_sizes(band_df)
     annotated = annotated.filter(F.col("bucket_size") > 1)

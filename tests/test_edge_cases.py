@@ -75,3 +75,25 @@ def test_giant_identical_group_bounded(spark):
     assert res.clusters.select("cluster_id").distinct().count() == 1
     # candidate pairs only among unique reps (1 rep -> 0 candidates)
     assert res.candidate_pairs.count() == 0
+
+
+def test_salt_strategy_pipeline_equivalent_clusters(spark):
+    """skew_strategy='salt' must produce the same final clusters as 'hub' on
+    a corpus with an oversized identical group."""
+    rows = [(i, "r", f"p{i}", "c", "c", "same content everywhere " * 100) for i in range(60)]
+    rows += [(100 + i, "r", f"q{i}", "c", "c", f"unique doc {i} " * 200) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "file_id long, repo string, path string, commit string, lang string, content string"
+    )
+    from hmse_spark.plans.pipeline import run_near_dup_pipeline
+
+    hub = run_near_dup_pipeline(
+        spark, df, cfg=PipelineConfig(max_bucket_size=10), with_metrics=False
+    )
+    salt = run_near_dup_pipeline(
+        spark, df, cfg=PipelineConfig(max_bucket_size=10, skew_strategy="salt"),
+        with_metrics=False,
+    )
+    a = {r["file_id"]: r["cluster_id"] for r in hub.clusters.collect()}
+    b = {r["file_id"]: r["cluster_id"] for r in salt.clusters.collect()}
+    assert a == b
