@@ -132,6 +132,88 @@ def detect_code_lang_udf():
     return detect_code_lang
 
 
+def _marker_count_col(t: Column, marker: str) -> Column:
+    """Non-overlapping occurrence count of a literal marker — replace-length
+    arithmetic, identical greedy left-to-right semantics to pandas
+    ``str.count(re.escape(m))`` and to the DuckDB oracle's replace() form."""
+    return (
+        (F.length(t) - F.length(F.replace(t, F.lit(marker)))) / F.lit(len(marker))
+    ).cast("long")
+
+
+def detect_lang_col(
+    text_col: str, markers: dict[str, list[str]], default: str, lowercase: bool
+) -> Column:
+    """Pure-column-expression language detector: same scores/argmax/tie-break
+    as the pandas-UDF ``_detect`` (first language in dict order wins ties,
+    ``default`` when no marker hits) but whole-stage-codegen'd JVM-side —
+    the preferred hot-path form; the UDF remains for API parity tests."""
+    t = F.lower(F.coalesce(F.col(text_col), F.lit(""))) if lowercase else F.coalesce(
+        F.col(text_col), F.lit("")
+    )
+    langs = list(markers)
+    # array-argmax keeps each score expression in the plan exactly once — a
+    # CASE ladder re-expands every score per branch and blows the generated
+    # method past janino's 64 KB limit (interpreted fallback)
+    scores = F.array(
+        *[
+            sum((_marker_count_col(t, m) for m in markers[lang]), F.lit(0).cast("long"))
+            for lang in langs
+        ]
+    )
+    best = F.array_max(scores)
+    # array_position is 1-based and returns the FIRST max — same tie-break as
+    # numpy argmax / dict order in the pandas-UDF _detect
+    pick = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]),
+        F.array_position(scores, best).cast("int"),
+    )
+    return F.when(best == F.lit(0).cast("long"), F.lit(default)).otherwise(pick)
+
+
+def detect_natural_lang_col(text_col: str = "text") -> Column:
+    return detect_lang_col(text_col, _LANG_MARKERS, "und", lowercase=True)
+
+
+def detect_code_lang_col(text_col: str = "text") -> Column:
+    return detect_lang_col(text_col, _CODE_MARKERS, "unknown", lowercase=False)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def lang_id_oracle_sql(
+    markers: dict[str, list[str]],
+    default: str,
+    lowercase: bool,
+    table: str = "documents",
+    alias: str = "detected_lang",
+) -> str:
+    """DuckDB oracle for detect_lang_col: identical replace-count scores and
+    argmax-first CASE ladder, built from the same marker dict."""
+    t = "lower(text)" if lowercase else "text"
+    score_exprs = []
+    for lang, ms in markers.items():
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, {_sql_quote(m)}, ''))) // {len(m)}" for m in ms
+        )
+        score_exprs.append(f"CAST({terms} AS BIGINT) AS s_{lang}")
+    langs = list(markers)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    ladder = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, {", ".join(score_exprs)}
+      FROM (SELECT doc_id, {t} AS t FROM {table})
+    )
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN '{default}' {ladder} ELSE '{default}' END
+             AS {alias}
+    FROM (SELECT *, {best} AS best FROM scored)
+    """
+
+
 # --- document fingerprinting (rolling-hash winnowing) ----------------------
 
 

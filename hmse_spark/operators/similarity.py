@@ -45,10 +45,18 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = None,
 ) -> DataFrame:
     """For every vector: its k nearest neighbors by cosine (excluding self),
     deterministic tie-break on neighbor id. Columns: vec_id, neighbor_id,
-    cos_sim (rounded 6dp), rank."""
+    cos_sim (rounded 6dp), rank.
+
+    DELIBERATELY O(n^2) — the exactness oracle for ``ann_topk``, never the
+    scale path. ``max_rows`` bounds the cross join by construction (a
+    deterministic min-id prefix of the input); callers exposing this to
+    arbitrarily-sized inputs MUST set it (the registered driver query does)."""
+    if max_rows is not None:
+        embeddings = embeddings.orderBy(id_col).limit(max_rows)
     a = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
     pairs = (
@@ -73,24 +81,33 @@ def hyperplane_planes(dim: int, n_planes: int = 16, n_bands: int = 4, seed: int 
 
 def add_hyperplane_buckets(
     embeddings: DataFrame,
-    dim: int,
+    dim: int | None = None,
     n_planes: int = 16,
     n_bands: int = 4,
     seed: int = 42,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Attach ``buckets: array<long>`` — one sign-pattern bucket per band.
-    The planes matrix is tiny and is closed over (broadcast with the UDF)."""
-    planes = hyperplane_planes(dim, n_planes, n_bands, seed)
 
+    The planes matrix is derived *inside* the UDF from the observed vector
+    length (seeded, so every executor derives the identical matrix) — no
+    driver-side ``.first()`` probe job and no plan-time ``dim`` needed; the
+    matrix is tiny (n_bands x n_planes x dim) and is rebuilt per Arrow batch,
+    a negligible cost next to the projection matmul. Passing ``dim``
+    explicitly just asserts it against the data."""
     from pyspark.sql.functions import pandas_udf
+
+    expect_dim = dim
 
     @pandas_udf("array<long>")
     def bucket_of(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        out = []
-        if mat.size == 0:
-            return pd.Series(out)
+        d = mat.shape[1]
+        if expect_dim is not None and d != expect_dim:
+            raise ValueError(f"embedding dim {d} != declared {expect_dim}")
+        planes = hyperplane_planes(d, n_planes, n_bands, seed)
         bits_per_band = []
         for b in range(planes.shape[0]):
             proj = mat @ planes[b].T  # (n_rows, n_planes)
@@ -107,7 +124,7 @@ def add_hyperplane_buckets(
 
 def ann_topk(
     embeddings: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 5,
     n_planes: int = 16,
     n_bands: int = 4,
@@ -143,7 +160,7 @@ def ann_topk(
 
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
-    dim: int,
+    dim: int | None = None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

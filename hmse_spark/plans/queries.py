@@ -210,21 +210,39 @@ def q_chunk_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("minhash_signatures", None)
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-surface form: the driver's order-insensitive canonicalizer
+    cannot hash raw array<> cells (CORRECTNESS_r01 TypeError), so the 128-long
+    signature is projected as a stable 64-bit digest and the 4 band hashes as
+    scalar columns. The array-returning API stays `minhash.add_signatures`."""
     from hmse_spark.operators import minhash
     from hmse_spark.sources.tables import documents_as_corpus
 
-    return minhash.add_signatures(documents_as_corpus(spark, sf_dir)).select(
-        "file_id", "sig", "bands"
+    sig = minhash.add_signatures(documents_as_corpus(spark, sf_dir))
+    return sig.select(
+        "file_id",
+        F.xxhash64("sig").alias("sig_digest"),
+        F.col("bands")[0].alias("band_0"),
+        F.col("bands")[1].alias("band_1"),
+        F.col("bands")[2].alias("band_2"),
+        F.col("bands")[3].alias("band_3"),
     )
 
 
 @register("simhash_fingerprints", None)
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-surface form of simhash.add_simhash (scalar columns only —
+    see q_minhash_signatures)."""
     from hmse_spark.operators import simhash
     from hmse_spark.sources.tables import documents_as_corpus
 
-    return simhash.add_simhash(documents_as_corpus(spark, sf_dir)).select(
-        "file_id", "simhash", "sim_bands"
+    fp = simhash.add_simhash(documents_as_corpus(spark, sf_dir))
+    return fp.select(
+        "file_id",
+        "simhash",
+        F.col("sim_bands")[0].alias("sim_band_0"),
+        F.col("sim_bands")[1].alias("sim_band_1"),
+        F.col("sim_bands")[2].alias("sim_band_2"),
+        F.col("sim_bands")[3].alias("sim_band_3"),
     )
 
 
@@ -331,13 +349,16 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BRUTE_FORCE_CAP = 2048  # explicit bound on the O(n^2) oracle-baseline query
+
+
 @register(
     "embedding_topk",
-    """
+    f"""
     WITH e AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-      FROM embeddings
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {BRUTE_FORCE_CAP})
     ), sims AS (
       SELECT a.vec_id,
              b.vec_id AS neighbor_id,
@@ -356,10 +377,13 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the exactness baseline, input explicitly
+    capped (BRUTE_FORCE_CAP) so the registered query is never an unbounded
+    cross join; `ann_topk` is the scale path."""
     from hmse_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.brute_force_topk(emb, k=3)
+    return similarity.brute_force_topk(emb, k=3, max_rows=BRUTE_FORCE_CAP)
 
 
 @register("ann_topk", None)
@@ -367,8 +391,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hmse_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    return similarity.ann_topk(emb, dim=dim, k=3, n_planes=4, n_bands=16)
+    return similarity.ann_topk(emb, k=3, n_planes=4, n_bands=16)
 
 
 @register("embedding_near_dups", None)
@@ -376,27 +399,35 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hmse_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    return similarity.embedding_near_dup_pairs(emb, dim=dim, threshold=0.5)
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.5)
 
 
-@register("natural_lang_id", None)
+from hmse_spark.functions.text import _CODE_MARKERS, _LANG_MARKERS, lang_id_oracle_sql
+
+
+@register(
+    "natural_lang_id",
+    lang_id_oracle_sql(_LANG_MARKERS, "und", lowercase=True, alias="detected_lang"),
+)
 def q_natural_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hmse_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", T.detect_natural_lang_udf()(F.col("text")).alias("detected_lang")
-    )
+    return docs.select("doc_id", T.detect_natural_lang_col("text").alias("detected_lang"))
 
 
-@register("code_lang_id", None)
+@register(
+    "code_lang_id",
+    lang_id_oracle_sql(
+        _CODE_MARKERS, "unknown", lowercase=False, alias="detected_code_lang"
+    ),
+)
 def q_code_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hmse_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", T.detect_code_lang_udf()(F.col("text")).alias("detected_code_lang")
+        "doc_id", T.detect_code_lang_col("text").alias("detected_code_lang")
     )
 
 
@@ -418,7 +449,35 @@ def q_bpeish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("quality_scores", None)
+@register(
+    "quality_scores",
+    """
+    WITH sig AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             length(text) - length(replace(text, ' ', '')) AS n_spaces,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+               AS n_words,
+             CAST(ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                        / greatest(length(text), 1), 6) AS DOUBLE) AS alpha_ratio,
+             CAST(ROUND(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) * 1.0
+                        / greatest(length(text), 1), 6) AS DOUBLE) AS punct_ratio,
+             CAST(ROUND((length(text) - length(replace(text, ' ', ''))) * 1.0
+                        / greatest(length(text), 1), 6) AS DOUBLE) AS space_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_words, alpha_ratio, punct_ratio,
+           CAST(CASE WHEN n_words > 0
+                     THEN ROUND((n_chars - n_spaces) * 1.0 / n_words, 6)
+                     ELSE 0.0 END AS DOUBLE) AS avg_word_len,
+           CAST(ROUND(least(n_chars / 200.0, 1.0) * 0.25
+                      + alpha_ratio * 0.35
+                      + least(space_ratio * 6.0, 1.0) * 0.2
+                      + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2, 6) AS DOUBLE)
+             AS quality_score
+    FROM sig
+    """,
+)
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hmse_spark.functions import text as T
 
@@ -430,10 +489,22 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_features", None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-surface form: the raw `feature array<float>` stays an internal
+    API; the driver sees a stable digest of it (see q_minhash_signatures)."""
     from hmse_spark.operators import multimodal
 
     assets = multimodal.synthesize_assets(spark, n=48)
-    return multimodal.extract_features(assets, dim=16)
+    feats = multimodal.extract_features(assets, dim=16)
+    return feats.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        "sha",
+        F.xxhash64(F.concat_ws(",", F.transform("feature", lambda x: x.cast("string")))).alias(
+            "feature_digest"
+        ),
+        "decode_ok",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -567,6 +638,67 @@ def q_training_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_input"),
             F.sum((F.col("quality_score") < 0.3).cast("long")).alias("n_quality_rejected"),
         )
+    )
+
+
+@register(
+    "incremental_ingest",
+    """
+    WITH existing AS (
+      SELECT doc_id, sha256(text) AS sha FROM documents WHERE doc_id % 10 < 7
+    ), newb AS (
+      -- fresh contents, plus re-keyed copies of existing contents (external
+      -- dups) and re-keyed copies of fresh contents (within-batch dups):
+      -- documents has no natural exact duplicates, so the increment
+      -- synthesizes the two pointer regimes deterministically
+      SELECT doc_id, sha256(text) AS sha FROM documents WHERE doc_id % 10 >= 7
+      UNION ALL
+      SELECT doc_id + 100000, sha256(text) FROM documents WHERE doc_id % 10 < 2
+      UNION ALL
+      SELECT doc_id + 200000, sha256(text) FROM documents WHERE doc_id % 10 >= 8
+    ), ext_idx AS (
+      SELECT sha, MIN(doc_id) AS base FROM existing GROUP BY sha
+    ), external_ptrs AS (
+      SELECT n.doc_id, n.sha AS file_sha, CAST(i.base AS BIGINT) AS base_id
+      FROM newb n JOIN ext_idx i ON n.sha = i.sha
+    ), unseen AS (
+      SELECT n.doc_id, n.sha FROM newb n
+      LEFT JOIN ext_idx i ON n.sha = i.sha WHERE i.sha IS NULL
+    ), batch_idx AS (
+      SELECT sha, MIN(doc_id) AS base FROM unseen GROUP BY sha
+    ), internal_ptrs AS (
+      SELECT u.doc_id, u.sha AS file_sha, CAST(b.base AS BIGINT) AS base_id
+      FROM unseen u JOIN batch_idx b ON u.sha = b.sha WHERE u.doc_id <> b.base
+    )
+    SELECT * FROM external_ptrs UNION ALL SELECT * FROM internal_ptrs
+    """,
+)
+def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental mode at the driver surface: split documents into a
+    persisted 'existing' corpus (doc_id % 10 < 7) and a 'new batch'; the
+    batch's pointer rows (external hits against the persisted index +
+    within-batch dups) are exactly SQL-expressible, so the oracle checks the
+    incremental exact-dedup semantics end to end (plans/incremental.py)."""
+    from hmse_spark.operators import exact_dedup
+    from hmse_spark.plans.incremental import ingest_increment
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    existing = corpus.filter(F.col("file_id") % 10 < 7)
+    fresh = corpus.filter(F.col("file_id") % 10 >= 7)
+    ext_dups = corpus.filter(F.col("file_id") % 10 < 2).withColumn(
+        "file_id", F.col("file_id") + 100000
+    )
+    int_dups = corpus.filter(F.col("file_id") % 10 >= 8).withColumn(
+        "file_id", F.col("file_id") + 200000
+    )
+    batch = fresh.unionByName(ext_dups).unionByName(int_dups)
+    existing_index = exact_dedup.build_index(
+        exact_dedup.with_sha(existing, "content", "file_sha"), "file_sha"
+    )
+    res = ingest_increment(spark, batch, existing_index, existing_band_rows=None)
+    return res.pointer_rows.select(
+        F.col("file_id").alias("doc_id"), "file_sha", "base_id"
     )
 
 

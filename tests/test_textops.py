@@ -66,6 +66,49 @@ def test_code_language_id(spark):
     assert got == {1: "python", 2: "java", 3: "go"}
 
 
+def test_lang_id_col_expr_matches_udf(spark):
+    """The JVM column-expression detectors (driver-surface, oracle-checked)
+    must agree with the vectorized pandas-UDF detectors on real corpus text —
+    same scores, same argmax-first tie-break, same no-hit default."""
+    docs = load_table(spark, SF, "documents")
+    nat = docs.select(
+        "doc_id",
+        T.detect_natural_lang_col("text").alias("col_lang"),
+        T.detect_natural_lang_udf()(F.col("text")).alias("udf_lang"),
+    )
+    assert nat.filter(F.col("col_lang") != F.col("udf_lang")).count() == 0
+    code = docs.select(
+        "doc_id",
+        T.detect_code_lang_col("text").alias("col_lang"),
+        T.detect_code_lang_udf()(F.col("text")).alias("udf_lang"),
+    )
+    assert code.filter(F.col("col_lang") != F.col("udf_lang")).count() == 0
+
+
+def test_lang_id_col_expr_tiebreak_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, " the und die ist ")],  # en ties de? counts differ
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["l"]
+        for r in df.select("id", T.detect_natural_lang_col("text").alias("l")).collect()
+    }
+    assert got[1] == "und" and got[2] == "und"
+    # ' the ' (en) scores 1; ' die '+' ist ' (de) scores 2 -> de
+    assert got[3] == "de"
+
+
+def test_brute_force_topk_max_rows_bounds_input(spark):
+    emb = load_table(spark, SF, "embeddings")
+    out = similarity.brute_force_topk(emb, k=2, max_rows=10)
+    assert out.select("vec_id").distinct().count() == 10
+    # capped prefix is the deterministic min-id prefix
+    ids = {r["vec_id"] for r in out.select("vec_id").distinct().collect()}
+    expect = {r["vec_id"] for r in emb.orderBy("vec_id").limit(10).collect()}
+    assert ids == expect
+
+
 def test_fingerprint_deterministic(spark):
     df = spark.createDataFrame([(1, "hello world " * 20), (2, "hello world " * 20), (3, "other")], "id long, text string")
     got = {r["id"]: r["fp"] for r in df.select("id", T.fingerprint_udf()(F.col("text")).alias("fp")).collect()}
