@@ -32,8 +32,21 @@ def with_sha(df: DataFrame, content_col: str = "content", out_col: str = "sha") 
     """Attach the SHA-256 identity column (hex). This is also the per-row
     end-to-end invariant: sha2(content, 256) equals the reference's
     hashlib.sha256(content.encode()).hexdigest() by construction (both FIPS
-    SHA-256 over UTF-8 bytes)."""
-    return df.withColumn(out_col, F.sha2(F.col(content_col), 256))
+    SHA-256 over UTF-8 bytes).
+
+    NULL content is normalized to the empty string/bytes BEFORE hashing —
+    matching the chunker's and the Jaccard UDF's None -> b'' ingestion rule.
+    sha2(NULL) would be NULL, and NULL join keys silently drop out of the
+    dup-edge equi-join, so NULL-content duplicates would each land in their
+    own cluster while the index reports them as one group."""
+    from pyspark.sql.types import BinaryType
+
+    empty = (
+        F.lit(b"")
+        if isinstance(df.schema[content_col].dataType, BinaryType)
+        else F.lit("")
+    )
+    return df.withColumn(out_col, F.sha2(F.coalesce(F.col(content_col), empty), 256))
 
 
 def build_index(

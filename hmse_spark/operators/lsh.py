@@ -166,20 +166,48 @@ def capped_bucket_report(
     cfg: PipelineConfig = DEFAULT,
     annotated: DataFrame | None = None,
 ) -> DataFrame:
-    """Oversized-bucket accounting (bucket key, size, pairs elided by the hub
-    cap) — 'no silent caps': this table is persisted with the metrics.
-    Prefer passing the shared ``annotate_bucket_sizes`` result: the report
-    then costs one map-side dedup over already-partitioned data instead of a
-    second full band-table shuffle."""
-    if annotated is not None:
-        sizes = annotated.select("band_id", "band_hash", "bucket_size").dropDuplicates(
-            ["band_id", "band_hash"]
+    """Oversized-bucket accounting (bucket key, size, pairs kept/elided, and
+    the strategy that produced them) — 'no silent caps': this table is
+    persisted with the metrics. Prefer passing the shared
+    ``annotate_bucket_sizes`` result: the report then reuses its exchange
+    instead of a second full band-table shuffle.
+
+    The elision formula is strategy-exact:
+    - ``hub``:  kept = m-1 (star to the bucket min);
+    - ``salt``: kept = sum over salt groups of C(g,2) plus the n_groups-1
+      link edges — computed from the ACTUAL salt assignment (same xxhash64
+      formula as ``salted_candidate_pairs``), not an estimate.
+    In both cases elided = C(m,2) - kept.
+    """
+    if annotated is None:
+        annotated = annotate_bucket_sizes(band_df)
+    big = annotated.filter(F.col("bucket_size") > cfg.max_bucket_size)
+    total_pairs = (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long")
+
+    if cfg.skew_strategy == "salt":
+        salted = big.withColumn(
+            "salt",
+            F.pmod(
+                F.xxhash64("uid"),
+                F.ceil(F.col("bucket_size") / F.lit(cfg.max_bucket_size)).cast("long"),
+            ),
         )
+        per_group = salted.groupBy("band_id", "band_hash", "salt").agg(
+            F.count("*").alias("g"), F.max("bucket_size").alias("bucket_size")
+        )
+        report = per_group.groupBy("band_id", "band_hash").agg(
+            F.max("bucket_size").alias("bucket_size"),
+            F.sum((F.col("g") * (F.col("g") - 1) / 2).cast("long")).alias("kept_within"),
+            F.count("*").alias("n_groups"),
+        )
+        report = report.withColumn(
+            "pairs_kept", F.col("kept_within") + F.col("n_groups") - 1
+        ).drop("kept_within", "n_groups")
     else:
-        sizes = bucket_sizes(band_df)
-    return sizes.filter(F.col("bucket_size") > cfg.max_bucket_size).withColumn(
-        "pairs_elided",
-        (
-            F.col("bucket_size") * (F.col("bucket_size") - 1) / 2 - (F.col("bucket_size") - 1)
-        ).cast("long"),
+        report = big.select("band_id", "band_hash", "bucket_size").dropDuplicates(
+            ["band_id", "band_hash"]
+        ).withColumn("pairs_kept", (F.col("bucket_size") - 1).cast("long"))
+
+    return report.withColumn("pairs_elided", total_pairs - F.col("pairs_kept")).withColumn(
+        "strategy", F.lit(cfg.skew_strategy)
     )

@@ -86,6 +86,21 @@ def build_chunk_store(
         .persist()
     )
 
+    # chunk_uid = xxhash64(sha) must be collision-free before it becomes the
+    # CC node id — at ~10^10 unique chunks 64-bit birthday collisions are
+    # expected (>1) and would silently fuse unrelated chunk clusters. One agg
+    # over the (persisted) unique-sha table; fail loudly like run_pipeline.py
+    # does for file_id.
+    uid_row = uniq.agg(
+        F.count("*").alias("n"), F.countDistinct("chunk_uid").alias("n_uid")
+    ).first()
+    if int(uid_row["n"]) != int(uid_row["n_uid"]):
+        raise RuntimeError(
+            f"chunk_uid collision: {uid_row['n']} unique shas -> "
+            f"{uid_row['n_uid']} distinct xxhash64 uids; widen the uid "
+            "derivation before clustering"
+        )
+
     # ---- L4: near-dup clustering over unique chunks ------------------------
     sigs = minhash.add_signatures(uniq, "chunk_bytes", cfg).select(
         "chunk_uid", "chunk_sha", "sig", "bands"
@@ -105,17 +120,21 @@ def build_chunk_store(
     records = delta_op.encode_clusters(clustered, cfg).persist()
 
     # ---- metrics -----------------------------------------------------------
-    logical = files.agg(F.sum(F.octet_length(content_col))).first()[0]
-    stored = records.agg(F.sum("stored_len")).first()[0]
+    # coalesce the sums: an empty corpus (or all-empty files) yields zero
+    # records, where SUM() is NULL and int()/division would crash
+    logical = int(
+        files.agg(F.coalesce(F.sum(F.octet_length(content_col)), F.lit(0))).first()[0]
+    )
+    stored = int(records.agg(F.coalesce(F.sum("stored_len"), F.lit(0))).first()[0])
     n_chunks = chunks.count()
     n_unique = chunk_index.count()
     n_delta = records.filter(F.col("kind") == delta_op.KIND_DELTA).count()
     metrics = spark.createDataFrame(
         [
             {
-                "logical_bytes": int(logical),
-                "stored_bytes": int(stored),
-                "dedup_ratio": round(logical / stored, 6),
+                "logical_bytes": logical,
+                "stored_bytes": stored,
+                "dedup_ratio": round(logical / max(stored, 1), 6),
                 "n_chunks": n_chunks,
                 "n_unique_chunks": n_unique,
                 "unique_ratio": round(n_unique / max(n_chunks, 1), 6),

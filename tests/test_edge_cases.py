@@ -97,3 +97,37 @@ def test_salt_strategy_pipeline_equivalent_clusters(spark):
     a = {r["file_id"]: r["cluster_id"] for r in hub.clusters.collect()}
     b = {r["file_id"]: r["cluster_id"] for r in salt.clusters.collect()}
     assert a == b
+
+
+def test_null_content_duplicates_cluster_together(spark):
+    """NULL content is normalized to '' at ingestion (with_sha coalesce), so
+    NULL-content duplicates share one sha, one index group, AND one cluster —
+    index and cluster views must agree (they diverged when sha2(NULL)=NULL
+    dropped the dup edges)."""
+    rows = [
+        (1, "r", "a", "c", "l", None),
+        (2, "r", "b", "c", "l", None),
+        (3, "r", "c", "c", "l", ""),
+        (4, "r", "d", "c", "l", "real content here " * 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "file_id long, repo string, path string, commit string, lang string, content string"
+    )
+    res = run_near_dup_pipeline(spark, df, with_metrics=False)
+    idx = {r["sha"]: r["refcount"] for r in res.index.withColumnRenamed("file_sha", "sha").collect()}
+    labels = {r["file_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    # NULL == NULL == '' under the None->b'' ingestion rule: one group of 3
+    assert max(idx.values()) == 3
+    assert labels[1] == labels[2] == labels[3]
+    assert labels[4] != labels[1]
+
+
+def test_chunkstore_empty_corpus_metrics(spark):
+    """A corpus of only empty files (zero chunk records) must produce sane
+    metrics, not a NULL-sum crash."""
+    rows = [(i, "") for i in range(3)]
+    df = spark.createDataFrame(rows, "file_id long, content string")
+    store = build_chunk_store(spark, df)
+    m = store.metrics.first()
+    assert m["logical_bytes"] == 0 and m["stored_bytes"] == 0
+    assert m["dedup_ratio"] == 0.0 and m["n_chunks"] == 0

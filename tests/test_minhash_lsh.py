@@ -192,3 +192,18 @@ def test_salted_pairs_preserve_components_and_bound(spark):
     assert len(got) < 60 * 10
     # and each salt group contributed direct pairs (more than a pure hub star)
     assert len(got) > 59
+
+    # strategy-exact cap accounting: with identical content the salt
+    # assignment (xxhash64(uid) % n_groups) is the same in every band, so the
+    # distinct pair set equals one bucket's kept pairs — the report must
+    # match it exactly, not the hub-star m-1 formula
+    import dataclasses
+
+    salt_cfg = dataclasses.replace(cfg, skew_strategy="salt")
+    report = lsh.capped_bucket_report(band_df, salt_cfg).collect()
+    assert report and all(r["strategy"] == "salt" for r in report)
+    for r in report:
+        assert r["pairs_kept"] == len(got)
+        assert r["pairs_elided"] == 60 * 59 // 2 - len(got)
+    hub_report = lsh.capped_bucket_report(band_df, cfg).collect()
+    assert all(r["pairs_kept"] == 59 and r["strategy"] == "hub" for r in hub_report)
