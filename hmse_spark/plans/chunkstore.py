@@ -50,8 +50,12 @@ def build_chunk_store(
     id_col: str = "file_id",
     content_col: str = "content",
 ) -> ChunkStoreResult:
-    # ---- L2: content-defined chunks (narrow) ------------------------------
-    chunks = fastcdc.chunk_files(files, cfg, content_col).persist()
+    from pyspark import StorageLevel
+
+    # ---- L2: content-defined chunks (narrow metadata, no bytes) -----------
+    chunks = fastcdc.chunk_files(files, cfg, content_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # ---- L3: exact dedup over chunk hashes (one uniform shuffle) ----------
     chunk_index = (
@@ -60,7 +64,7 @@ def build_chunk_store(
             F.count("*").alias("refcount"),
             F.min(F.struct(id_col, "chunk_idx", "offset", "length")).alias("canonical"),
         )
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # unique chunk bytes: join canonical locations back to file content and
@@ -83,7 +87,10 @@ def build_chunk_store(
             "chunk_uid",
             F.xxhash64("chunk_sha"),
         )
-        .persist()
+        # the ONE content-bearing cache (unique chunk bytes) — read by the
+        # uid check, the signature pass, and the delta encoder, then
+        # released below once the records cache is filled
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # chunk_uid = xxhash64(sha) must be collision-free before it becomes the
@@ -117,7 +124,9 @@ def build_chunk_store(
     )
 
     # ---- delta encode + L1 full compression -------------------------------
-    records = delta_op.encode_clusters(clustered, cfg).persist()
+    records = delta_op.encode_clusters(clustered, cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # ---- metrics -----------------------------------------------------------
     # coalesce the sums: an empty corpus (or all-empty files) yields zero
@@ -126,6 +135,9 @@ def build_chunk_store(
         files.agg(F.coalesce(F.sum(F.octet_length(content_col)), F.lit(0))).first()[0]
     )
     stored = int(records.agg(F.coalesce(F.sum("stored_len"), F.lit(0))).first()[0])
+    # the stored-len agg materialized every records partition (cache filled);
+    # the unique chunk bytes have no further consumer — release them
+    uniq.unpersist()
     n_chunks = chunks.count()
     n_unique = chunk_index.count()
     n_delta = records.filter(F.col("kind") == delta_op.KIND_DELTA).count()

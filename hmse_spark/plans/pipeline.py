@@ -52,20 +52,29 @@ def run_near_dup_pipeline(
     content_col: str = "content",
     with_metrics: bool = True,
 ) -> PipelineResult:
+    from pyspark import StorageLevel
+
     def stage(name: str, compute):
         if ckpt is None:
             df = compute()
-            df.persist()
+            # disk-spillable, never memory-pinned: at 100 TB an implicit
+            # MEMORY_ONLY persist of a hot stage evicts everything else
+            df.persist(StorageLevel.MEMORY_AND_DISK)
             return df
         return ckpt.get_or_compute(name, compute)
 
     # ---- L3: invariant + exact dedup --------------------------------------
-    files_sha = stage(
-        "files_sha", lambda: exact_dedup.with_sha(files, content_col, "file_sha")
-    )
+    # files_sha (content + sha) is deliberately NOT persisted — pinning the
+    # full corpus in the block manager for the whole job is the 100 TB
+    # scale-killer. Everything downstream that doesn't need bytes runs off
+    # the narrow (id, sha) projection; only the unique reps (content the
+    # signature + verify stages actually read) are cached, and they are
+    # unpersisted once clustering has consumed them.
+    files_sha = exact_dedup.with_sha(files, content_col, "file_sha")
+    files_meta = stage("files_meta", lambda: files_sha.select(id_col, "file_sha"))
     index = stage(
         "exact_index",
-        lambda: exact_dedup.build_index(files_sha, sha_col="file_sha", id_col=id_col),
+        lambda: exact_dedup.build_index(files_meta, sha_col="file_sha", id_col=id_col),
     )
     reps = stage(
         "unique_reps",
@@ -140,7 +149,7 @@ def run_near_dup_pipeline(
     # ---- exact-dup edges (J=1 by construction; no verification needed) ----
     dup_edges = stage(
         "dup_edges",
-        lambda: files_sha.join(
+        lambda: files_meta.join(
             index.select("file_sha", "canonical_id"), "file_sha"
         )
         .filter(F.col(id_col) != F.col("canonical_id"))
@@ -153,10 +162,16 @@ def run_near_dup_pipeline(
     edges = verified.select("id_a", "id_b").unionByName(dup_edges).distinct()
 
     # ---- connected components + labels for every file ---------------------
+    # CC is eager (iterative) — it materializes edges, which fills the
+    # persisted verified/candidates/signatures caches on the way. After it
+    # returns, the content-bearing reps cache has no remaining consumer
+    # (verify was its last reader), so release it.
     labels = cc.connected_components(edges)
+    if ckpt is None:
+        reps.unpersist()
     clusters = stage(
         "clusters",
-        lambda: cc.attach_singletons(labels, files_sha, id_col).withColumnRenamed(
+        lambda: cc.attach_singletons(labels, files_meta, id_col).withColumnRenamed(
             "uid", id_col
         ),
     )
@@ -172,7 +187,7 @@ def run_near_dup_pipeline(
         metrics = stage(
             "metrics",
             lambda: _metrics_row(
-                spark, files_sha, index, candidates, verified, clusters, id_col, capped
+                spark, files_meta, index, candidates, verified, clusters, id_col, capped
             ),
         )
 
@@ -189,7 +204,7 @@ def run_near_dup_pipeline(
 
 def _metrics_row(
     spark: SparkSession,
-    files_sha: DataFrame,
+    files_meta: DataFrame,
     index: DataFrame,
     candidates: DataFrame,
     verified: DataFrame,
@@ -200,7 +215,7 @@ def _metrics_row(
     """Stage metrics (VALIDATION_METHODS.md:253-264 analogues): unique ratio,
     LSH hit rate (verified/candidates), cluster stats, and the no-silent-caps
     accounting (buckets hub-capped + pairs elided)."""
-    n_files = files_sha.count()
+    n_files = files_meta.count()
     n_unique = index.count()
     n_cand = candidates.count()
     n_ver = verified.count()
