@@ -205,11 +205,30 @@ def _pairs_in_group(doc_ids: list[int], contents: list[bytes], cfg: PipelineConf
 def suffix_array_pairs(
     df: DataFrame, id_col: str = "file_id", content_col: str = "content",
     cfg: PipelineConfig = DEFAULT, num_groups: int | None = None,
+    shard_by: str = "anchor",
 ) -> DataFrame:
-    """Within-partition exact substring pairs via applyInPandas over salted
+    """Within-partition exact substring pairs via applyInPandas over sharded
     groups. Partition byte budget is enforced by choosing num_groups from the
     input size when not given; docs larger than the budget are truncated to
-    the budget (logged deviation — a doc that big shares plenty of windows)."""
+    the budget (logged deviation — a doc that big shares plenty of windows).
+
+    ``shard_by`` picks the group key:
+
+    - ``"anchor"`` (default): each doc's MINIMUM anchor fingerprint — a
+      content-derived key, so documents sharing content co-locate regardless
+      of their ids (two copies of a file always share the same global-min
+      anchor window). This is what lets the exact detector find cross-corpus
+      repeats at scale: an id-hash shard only ever compares docs that happen
+      to collide. Caveat (documented, measured in BENCH/RECALL.md): two docs
+      sharing only a substring co-locate iff that substring contains both
+      docs' min anchors — partial overlaps still rely on the global anchor
+      path, which is the corpus-wide detector by design.
+    - ``"id"``: content-oblivious hash of the id — uniform group sizes, no
+      extra content pass; only sound when the caller has already grouped
+      related docs or wants a bounded random-pairs probe.
+
+    Docs with no anchors (shorter than the window) fall back to the id hash.
+    """
     spark = df.sparkSession
     if num_groups is None:
         total = df.select(F.sum(F.octet_length(content_col))).first()[0] or 1
@@ -226,7 +245,15 @@ def suffix_array_pairs(
         ]
         return pd.DataFrame(_pairs_in_group(ids, contents, cfg), columns=["id_a", "id_b"])
 
-    grouped = df.select(id_col, content_col).withColumn(
-        "_grp", F.pmod(F.hash(F.col(id_col)), F.lit(num_groups))
-    )
+    base = df.select(id_col, content_col)
+    if shard_by == "anchor":
+        fp_udf = make_anchor_udf(cfg)
+        key = F.coalesce(
+            F.array_min(fp_udf(F.col(content_col))), F.xxhash64(F.col(id_col))
+        )
+    elif shard_by == "id":
+        key = F.hash(F.col(id_col)).cast("long")
+    else:
+        raise ValueError(f"shard_by must be 'anchor' or 'id', got {shard_by!r}")
+    grouped = base.withColumn("_grp", F.pmod(key, F.lit(num_groups)))
     return grouped.groupBy("_grp").applyInPandas(run_group, schema=schema).distinct()

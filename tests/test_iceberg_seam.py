@@ -1,0 +1,68 @@
+"""Exercise the Iceberg checkpoint backend (the 'one-class swap' claimed in
+plans/checkpoint.py). The sandbox has no iceberg-spark-runtime jars, so the
+write is attempted and the test SKIPS (with the real error) when the runtime
+is absent — but the plan construction, table naming, and the manager's
+contract methods are executed for real either way.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hmse_spark.plans.checkpoint import CheckpointManager, IcebergCheckpointManager
+
+
+def _iceberg_available(spark) -> tuple[bool, str]:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True, ""
+    except Exception as e:  # ClassNotFound in the sandbox
+        return False, f"{type(e).__name__}: {e}"
+
+
+def test_iceberg_writeto_plan_constructs(spark):
+    """The writeTo(...).using('iceberg') builder must be constructible from
+    any DataFrame — the plan object is what the swap relies on; execution
+    needs the runtime."""
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    writer = df.writeTo("local.hmse.stage_a").using("iceberg")
+    assert writer is not None  # builder constructed without a runtime
+
+
+def test_iceberg_checkpoint_manager_contract(spark, tmp_path):
+    """End-to-end get_or_compute through the Iceberg backend when the runtime
+    exists; otherwise skip with the actual loader error so the gap is a
+    documented environment limitation, not an untested claim."""
+    ok, why = _iceberg_available(spark)
+    mgr = IcebergCheckpointManager(spark, "local.hmse")
+    # contract surface exercised runtime-free: stage -> table mapping
+    assert mgr._table("heavy/group=0002") == "local.hmse.heavy_group_0002"
+    if not ok:
+        pytest.skip(f"iceberg-spark-runtime not in sandbox ({why})")
+    out = mgr.get_or_compute("stage_a", lambda: spark.range(50))
+    assert out.count() == 50
+
+    def boom():
+        raise AssertionError("completed stage must not recompute")
+
+    assert mgr.get_or_compute("stage_a", boom).count() == 50
+    lin = mgr.lineage().filter(F.col("stage") == "stage_a")
+    assert lin.agg(F.sum("rows")).first()[0] == 50
+
+
+def test_parquet_and_iceberg_managers_share_contract():
+    """The swap is one class: the Iceberg backend overrides ONLY the I/O
+    methods; resume/grouped/lineage logic is inherited, so behavior proven by
+    test_checkpoint.py carries over."""
+    overridden = {
+        name
+        for name in ("has", "write", "read", "lineage", "_read_groups", "_table")
+        if name in IcebergCheckpointManager.__dict__
+    }
+    assert overridden == {"has", "write", "read", "lineage", "_read_groups", "_table"}
+    inherited = {"get_or_compute", "get_or_compute_grouped"}
+    assert not (inherited & set(IcebergCheckpointManager.__dict__))
+    assert all(hasattr(CheckpointManager, m) for m in inherited)

@@ -102,3 +102,35 @@ def test_suffix_array_pairs_spark(spark):
     lab = ref_clusters(ids, got)
     for a, b in exact:
         assert lab.get(a) == lab.get(b), f"exact pair ({a},{b}) not connected"
+
+
+def test_suffix_array_anchor_sharding_finds_cross_group_repeats(spark):
+    """Content-derived sharding: two copies of the same document must be
+    compared by the exact SA detector even across many shard groups, where
+    id-hash sharding would (demonstrably, on this fixture) separate them."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    body = "".join(chr(int(c)) for c in rng.integers(97, 123, size=6000))
+    rows = [(i, f"unique filler {i} " * 400) for i in range(20)]
+    rows += [(100, body), (205, body)]  # the planted exact repeat
+    df = spark.createDataFrame(rows, "file_id long, content string")
+    G = 16
+
+    def pair_found(shard_by):
+        pairs = suffix.suffix_array_pairs(df, cfg=PipelineConfig(), num_groups=G,
+                                          shard_by=shard_by)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        return (100, 205) in got
+
+    # the fixture only proves the gap if id-sharding actually splits the copies
+    id_grps = {
+        r["g"]
+        for r in df.filter(F.col("file_id").isin(100, 205))
+        .select(F.pmod(F.hash("file_id").cast("long"), F.lit(G)).alias("g"))
+        .collect()
+    }
+    if len(id_grps) == 2:
+        assert not pair_found("id"), "fixture expectation: id-sharding separates the copies"
+    assert pair_found("anchor"), "anchor sharding must co-locate identical contents"

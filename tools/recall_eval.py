@@ -1,0 +1,88 @@
+"""Dup-pair recall / cluster precision of the near-dup pipeline against the
+synthetic-corpus ground truth, per variant set.
+
+Used for the BENCH/RECALL.md evidence: the anchor-fingerprint path is the
+engine's only *global* exact-substring detector (the partition-local suffix
+array is exact but sees one shard group at a time), so its standalone recall
+is measured here rather than asserted.
+
+Usage:
+    python tools/recall_eval.py --n-files 1000 --seed 43 --variants substr
+    python tools/recall_eval.py --n-files 1000 --seed 43 \
+        --variants minhash,simhash,substr
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-files", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=43)
+    ap.add_argument("--variants", default="minhash,simhash,substr")
+    ap.add_argument("--cpus", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    from hmse_spark.corpus import CorpusSpec, corpus_to_spark, generate_corpus
+    from hmse_spark.plans.pipeline import run_near_dup_pipeline
+    from hmse_spark.session import build_session
+
+    spark = build_session(app_name="recall_eval", master=f"local[{args.cpus}]")
+    corpus = generate_corpus(CorpusSpec(n_files=args.n_files, seed=args.seed))
+    df = corpus_to_spark(spark, corpus)
+    variants = tuple(v.strip() for v in args.variants.split(",") if v.strip())
+
+    t0 = time.time()
+    res = run_near_dup_pipeline(spark, df, variants=variants, with_metrics=False)
+    labels = {r["file_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    wall = time.time() - t0
+
+    truth = [(p["id_a"], p["id_b"]) for p in corpus.truth_pairs if p["is_dup"]]
+    hits = sum(1 for a, b in truth if labels.get(a) == labels.get(b))
+    # precision: co-clustered pairs that are NOT truth dups (per truth
+    # clusters, which include transitive closure)
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for fid, cl in labels.items():
+        members[cl].append(fid)
+    co_pairs = {
+        (min(a, b), max(a, b))
+        for ms in members.values()
+        for i, a in enumerate(ms)
+        for b in ms[i + 1 :]
+    }
+    truth_co = {
+        (min(a, b), max(a, b))
+        for a in corpus.truth_clusters
+        for b in corpus.truth_clusters
+        if a < b and corpus.truth_clusters[a] == corpus.truth_clusters[b]
+    }
+    tp = len(co_pairs & truth_co)
+    precision = tp / max(len(co_pairs), 1)
+    out = {
+        "variants": list(variants),
+        "n_files": args.n_files,
+        "seed": args.seed,
+        "dup_pair_recall": round(hits / max(len(truth), 1), 4),
+        "truth_pairs": len(truth),
+        "truth_pairs_hit": hits,
+        "cluster_precision": round(precision, 4),
+        "co_clustered_pairs": len(co_pairs),
+        "wall_sec": round(wall, 1),
+    }
+    json.dump(out, sys.stdout)
+    print()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
