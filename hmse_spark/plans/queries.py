@@ -642,6 +642,94 @@ def q_training_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_rollup",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total_price
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (SURVEY.md §2.4 aggregation breadth): one
+    ROLLUP pass instead of 3 unioned groupBys — grouping-set expansion stays
+    inside a single partial+final aggregate. NULL grouping keys are projected
+    as 'ALL' (the driver canonicalizer cannot sort mixed None/str cells)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "parts_never_ordered",
+    """
+    SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_brand
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (SURVEY.md §2.3): LEFT ANTI keeps the probe side unshuffled
+    when the build side broadcasts; NOT-IN NULL traps are avoided by using
+    join semantics rather than a subquery predicate."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return part.join(
+        li.select(F.col("l_partkey").alias("p_partkey")), "p_partkey", "left_anti"
+    ).select("p_partkey", "p_brand")
+
+
+@register(
+    "user_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(1 + SUM(CASE WHEN prev IS NOT NULL
+                              AND ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions
+    FROM e GROUP BY user_id
+    """,
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (SURVEY.md §2.5 window breadth): lag over
+    (user, ts, event_id) then count >30-min gaps — one shuffle on user_id
+    shared by the window and the final aggregate. The gap compares raw
+    timestamp differences against an interval (ts is TIMESTAMP_NTZ; epoch
+    conversion would drag in session-timezone semantics for nothing)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = events.withColumn("prev", F.lag("ts").over(w))
+    gap = F.when(
+        F.col("prev").isNotNull()
+        & (F.col("ts") - F.col("prev") > F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.lit(1) + F.sum(gap)).cast("long").alias("n_sessions"),
+    )
+
+
+@register(
     "incremental_ingest",
     """
     WITH existing AS (
