@@ -93,6 +93,11 @@ _CODE_MARKERS: dict[str, list[str]] = {
     "cpp": ["std::", "template", "namespace", "::", "auto ", "#include"],
 }
 
+# public views: the query registry builds DuckDB oracle SQL from the same
+# marker tables the detectors use (single source of truth)
+LANG_MARKERS = _LANG_MARKERS
+CODE_MARKERS = _CODE_MARKERS
+
 
 def _detect(
     batch: pd.Series, markers: dict[str, list[str]], default: str, lowercase: bool

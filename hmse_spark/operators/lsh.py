@@ -180,6 +180,8 @@ def capped_bucket_report(
     In both cases elided = C(m,2) - kept.
     """
     if annotated is None:
+        if band_df is None:
+            raise ValueError("capped_bucket_report needs band_df or annotated")
         annotated = annotate_bucket_sizes(band_df)
     big = annotated.filter(F.col("bucket_size") > cfg.max_bucket_size)
     total_pairs = (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long")

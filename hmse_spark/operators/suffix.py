@@ -205,12 +205,13 @@ def _pairs_in_group(doc_ids: list[int], contents: list[bytes], cfg: PipelineConf
 def suffix_array_pairs(
     df: DataFrame, id_col: str = "file_id", content_col: str = "content",
     cfg: PipelineConfig = DEFAULT, num_groups: int | None = None,
-    shard_by: str = "anchor",
+    shard_by: str = "anchor", fps_col: str | None = None,
 ) -> DataFrame:
     """Within-partition exact substring pairs via applyInPandas over sharded
-    groups. Partition byte budget is enforced by choosing num_groups from the
-    input size when not given; docs larger than the budget are truncated to
-    the budget (logged deviation — a doc that big shares plenty of windows).
+    groups. The per-task byte budget (``cfg.substr_partition_bytes``) is
+    enforced BY CONSTRUCTION inside each group (see below), not just by the
+    num_groups estimate — content-derived sharding can put an unbounded
+    near-dup family into one group.
 
     ``shard_by`` picks the group key:
 
@@ -222,12 +223,24 @@ def suffix_array_pairs(
       to collide. Caveat (documented, measured in BENCH/RECALL.md): two docs
       sharing only a substring co-locate iff that substring contains both
       docs' min anchors — partial overlaps still rely on the global anchor
-      path, which is the corpus-wide detector by design.
+      path, which is the corpus-wide detector by design. Pass ``fps_col``
+      (a precomputed ``array<long>`` of anchor fingerprints, e.g. from the
+      fused signature pass) to avoid recomputing anchors over content.
     - ``"id"``: content-oblivious hash of the id — uniform group sizes, no
       extra content pass; only sound when the caller has already grouped
       related docs or wants a bounded random-pairs probe.
 
     Docs with no anchors (shorter than the window) fall back to the id hash.
+
+    In-group budget: a group whose total bytes exceed the budget is processed
+    as consecutive byte-bounded windows over the id-sorted members, each
+    window overlapping the previous by one doc. Within a window the detector
+    is exact; the overlap doc chains the windows, so a family of docs sharing
+    the window substring stays one connected component (the same
+    connectivity-preserving cap as the LSH hub star — and co-grouped docs
+    already share their min anchor, so cross-window members are near-dups of
+    the chained doc by construction). Docs larger than the budget are
+    truncated to it (a doc that big shares plenty of windows).
     """
     spark = df.sparkSession
     if num_groups is None:
@@ -237,23 +250,42 @@ def suffix_array_pairs(
     schema = "id_a long, id_b long"
 
     def run_group(key, pdf):
+        budget = max(cfg.substr_partition_bytes, 1)
+        pdf = pdf.sort_values(id_col, ignore_index=True)
         ids = pdf[id_col].tolist()
-        budget = cfg.substr_partition_bytes
         contents = [
             (b"" if s is None else (s.encode() if isinstance(s, str) else bytes(s)))[:budget]
             for s in pdf[content_col]
         ]
-        return pd.DataFrame(_pairs_in_group(ids, contents, cfg), columns=["id_a", "id_b"])
+        out: list[tuple[int, int]] = []
+        start = 0
+        n = len(ids)
+        while start < n:
+            end, acc = start, 0
+            while end < n and (acc + len(contents[end]) <= budget or end == start):
+                acc += len(contents[end])
+                end += 1
+            out.extend(_pairs_in_group(ids[start:end], contents[start:end], cfg))
+            if end >= n:
+                break
+            # one-doc overlap chains consecutive windows; max() guarantees
+            # forward progress when a single doc fills the whole budget
+            start = max(end - 1, start + 1)
+        return pd.DataFrame(out, columns=["id_a", "id_b"])
 
-    base = df.select(id_col, content_col)
+    cols = [id_col, content_col] + ([fps_col] if fps_col else [])
+    base = df.select(*cols)
     if shard_by == "anchor":
-        fp_udf = make_anchor_udf(cfg)
-        key = F.coalesce(
-            F.array_min(fp_udf(F.col(content_col))), F.xxhash64(F.col(id_col))
-        )
+        if fps_col is not None:
+            fps = F.col(fps_col)
+        else:
+            fps = make_anchor_udf(cfg)(F.col(content_col))
+        key = F.coalesce(F.array_min(fps), F.xxhash64(F.col(id_col)))
     elif shard_by == "id":
         key = F.hash(F.col(id_col)).cast("long")
     else:
         raise ValueError(f"shard_by must be 'anchor' or 'id', got {shard_by!r}")
     grouped = base.withColumn("_grp", F.pmod(key, F.lit(num_groups)))
+    if fps_col:
+        grouped = grouped.drop(fps_col)
     return grouped.groupBy("_grp").applyInPandas(run_group, schema=schema).distinct()

@@ -85,8 +85,13 @@ class CheckpointManager:
         return self._read_groups(stage, num_groups)
 
     def _read_groups(self, stage: str, num_groups: int) -> DataFrame:
-        return self.spark.read.option("basePath", self._dir(stage)).parquet(
-            *(self._dir(f"{stage}/group={g:04d}") for g in range(num_groups))
+        # drop the partition-discovery `group` column: it is resume plumbing,
+        # and backends without directory layout (Iceberg) don't produce it —
+        # the contract output is the data columns only
+        return (
+            self.spark.read.option("basePath", self._dir(stage))
+            .parquet(*(self._dir(f"{stage}/group={g:04d}") for g in range(num_groups)))
+            .drop("group")
         )
 
 
@@ -118,10 +123,13 @@ class IcebergCheckpointManager(CheckpointManager):
             .agg(F.count("*").alias("rows"))
             .withColumn("stage", F.lit(stage))
         )
+        # existence-checked append: a bare try/append-except-create would
+        # misread schema or commit-conflict errors as "table missing" and
+        # mask them behind TABLE_ALREADY_EXISTS
         ltab = self._table("_lineage")
-        try:
+        if self.spark.catalog.tableExists(ltab):
             lineage.writeTo(ltab).append()
-        except Exception:
+        else:
             lineage.writeTo(ltab).using("iceberg").create()
         return out
 

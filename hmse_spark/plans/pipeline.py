@@ -52,6 +52,17 @@ def run_near_dup_pipeline(
     content_col: str = "content",
     with_metrics: bool = True,
 ) -> PipelineResult:
+    """Run the full near-dup pipeline over ``files``.
+
+    PRECONDITION: ``files`` must be a deterministic snapshot (a committed
+    parquet/Iceberg read, or a checkpointed DataFrame). The corpus is scanned
+    twice (once for the (id, sha) projection, once for the unique-rep
+    content) instead of being cached whole; a nondeterministic plan
+    (sample(), a directory being appended to mid-job) could yield different
+    rows per scan and silently desynchronize the index from the signed
+    content. Sources that can't guarantee this should pass a
+    CheckpointManager, whose first stage pins a materialized snapshot.
+    """
     from pyspark import StorageLevel
 
     def stage(name: str, compute):
@@ -125,11 +136,19 @@ def run_near_dup_pipeline(
         )
     if "substr_sa" in variants:
         # exact within-partition suffix-array detector (bounded memory);
-        # complements the anchor path with exact >= L-byte repeat evidence
+        # complements the anchor path with exact >= L-byte repeat evidence.
+        # The content-derived shard key reuses the fused pass's anchor_fps —
+        # no second anchor scan over rep content.
         pair_sets.append(
             stage(
                 "pairs_substr_sa",
-                lambda: suffix.suffix_array_pairs(reps, id_col, content_col, cfg),
+                lambda: suffix.suffix_array_pairs(
+                    reps.join(signatures.select(id_col, "anchor_fps"), id_col),
+                    id_col,
+                    content_col,
+                    cfg,
+                    fps_col="anchor_fps",
+                ),
             ).select("id_a", "id_b")
         )
 

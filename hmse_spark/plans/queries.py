@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hmse_spark.functions.text import CODE_MARKERS, LANG_MARKERS, lang_id_oracle_sql
 from hmse_spark.operators import exact_dedup
 from hmse_spark.sources.tables import load_table
 
@@ -402,12 +403,9 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb, threshold=0.5)
 
 
-from hmse_spark.functions.text import _CODE_MARKERS, _LANG_MARKERS, lang_id_oracle_sql
-
-
 @register(
     "natural_lang_id",
-    lang_id_oracle_sql(_LANG_MARKERS, "und", lowercase=True, alias="detected_lang"),
+    lang_id_oracle_sql(LANG_MARKERS, "und", lowercase=True, alias="detected_lang"),
 )
 def q_natural_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hmse_spark.functions import text as T
@@ -419,7 +417,7 @@ def q_natural_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "code_lang_id",
     lang_id_oracle_sql(
-        _CODE_MARKERS, "unknown", lowercase=False, alias="detected_code_lang"
+        CODE_MARKERS, "unknown", lowercase=False, alias="detected_code_lang"
     ),
 )
 def q_code_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

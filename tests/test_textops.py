@@ -87,7 +87,7 @@ def test_lang_id_col_expr_matches_udf(spark):
 
 def test_lang_id_col_expr_tiebreak_and_null(spark):
     df = spark.createDataFrame(
-        [(1, None), (2, ""), (3, " the und die ist ")],  # en ties de? counts differ
+        [(1, None), (2, ""), (3, " the und die ist ")],
         "id long, text string",
     )
     got = {
@@ -95,7 +95,7 @@ def test_lang_id_col_expr_tiebreak_and_null(spark):
         for r in df.select("id", T.detect_natural_lang_col("text").alias("l")).collect()
     }
     assert got[1] == "und" and got[2] == "und"
-    # ' the ' (en) scores 1; ' die '+' ist ' (de) scores 2 -> de
+    # ' the ' (en) scores 1; ' und '+' die '+' ist ' (de) scores 3 -> de
     assert got[3] == "de"
 
 

@@ -134,3 +134,23 @@ def test_suffix_array_anchor_sharding_finds_cross_group_repeats(spark):
     if len(id_grps) == 2:
         assert not pair_found("id"), "fixture expectation: id-sharding separates the copies"
     assert pair_found("anchor"), "anchor sharding must co-locate identical contents"
+
+
+def test_suffix_array_group_byte_budget_chained_windows(spark):
+    """A content-sharded group larger than the byte budget is processed as
+    overlapping byte-bounded windows: memory stays bounded by construction
+    and the doc family still forms ONE connected component via the chained
+    overlap docs."""
+    from tests.reference_impl import ref_clusters
+
+    body = "shared boilerplate text for the whole family " * 150  # ~6.7 KB
+    rows = [(i, body) for i in range(12)]  # ~80 KB group, budget 20 KB
+    df = spark.createDataFrame(rows, "file_id long, content string")
+    cfg = PipelineConfig(substr_partition_bytes=20_000)
+    pairs = suffix.suffix_array_pairs(df, cfg=cfg, num_groups=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got, "identical docs must produce edges"
+    # windows are ~3 docs wide, so the full 12x11/2 pair set must NOT appear
+    assert len(got) < 12 * 11 / 2
+    lab = ref_clusters(list(range(12)), got)
+    assert set(lab.values()) == {lab[0]}, "chained windows must keep one component"
