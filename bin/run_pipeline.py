@@ -27,7 +27,12 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
+
+# plain-python fallback: spark-submit ships hmse_spark via --py-files, but
+# the entry must also run as `python bin/run_pipeline.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -82,7 +87,7 @@ def main(argv: list[str] | None = None) -> None:
         # Corpora at that scale should carry an explicit collision-free
         # file_id column (or a 128-bit composite) in the source table.
         # Skipped on resume: the first run already validated this input.
-        if not mgr.has("files_sha"):
+        if not mgr.has("files_meta"):
             ids = files.agg(
                 F.count("*").alias("n"), F.countDistinct("file_id").alias("d")
             ).first()

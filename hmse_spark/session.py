@@ -38,6 +38,11 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # keep broadcast available for small dims (band-seed tables, metrics)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        # explicit scan granularity (north_rule: partition sizing is a
+        # declared decision, not an inherited default): 128 MiB splits keep
+        # one scan task's content + its Arrow batch transfer inside executor
+        # memory even for content-heavy rows
+        .config("spark.sql.files.maxPartitionBytes", str(128 << 20))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
