@@ -96,6 +96,66 @@ def extract_features(
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "asset_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int, codec:string>, "
+    "orig_width int, orig_height int"
+)
+
+
+def resize_images(
+    assets: DataFrame, width: int, height: int, decode: str = "deterministic_fake"
+) -> DataFrame:
+    """Resize plumbing for image assets: one Arrow batch in, one out, typed
+    metadata rewritten to the target dimensions, original dims preserved as
+    audit columns. Non-image rows pass through untouched (payload + meta
+    unchanged) so the op composes with mixed-modality tables.
+
+    The pixel work itself sits behind the same documented codec stub as
+    extract_features: ``deterministic_fake`` derives a content-seeded fake
+    payload of plausible size (so byte accounting downstream is exercised);
+    ``strict`` raises where PIL/ffmpeg would be called."""
+    if decode not in ("deterministic_fake", "strict"):
+        raise ValueError(decode)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "strict":
+                raise NotImplementedError(
+                    "real image codecs are not available in this container; "
+                    "use decode='deterministic_fake' for plumbing"
+                )
+            out_payload, out_meta, ow, oh = [], [], [], []
+            for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                meta = dict(meta)
+                ow.append(meta.get("width"))
+                oh.append(meta.get("height"))
+                if kind != "image":
+                    out_payload.append(payload)
+                    out_meta.append(meta)
+                    continue
+                # fake resize: content-derived bytes, sized ~ w*h/8 so the
+                # stored-bytes accounting reacts to the target resolution
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                target = max(width * height // 8, 16)
+                reps = int(np.ceil(target / max(buf.size, 1)))
+                out_payload.append(np.tile(buf, reps)[:target].tobytes())
+                meta["width"], meta["height"] = width, height
+                out_meta.append(meta)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                    "orig_width": pd.array(ow, dtype="Int32"),
+                    "orig_height": pd.array(oh, dtype="Int32"),
+                }
+            )
+
+    return assets.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: (asset_id, frame_idx, ts_ms) rows derived
     from metadata — pure column expressions (sequence + explode), the real

@@ -158,6 +158,107 @@ def ann_topk(
     )
 
 
+def fit_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means over a bounded, id-ordered
+    sample (collected once — ``sample_rows`` x dim floats, driver-side by
+    design: centroids are a tiny model, the corpus never leaves executors).
+    Seeded init + fixed Lloyd iterations => identical centroids every run."""
+    pdf = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .toPandas()
+    )
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, mat.shape[0])
+    centroids = mat[rng.choice(mat.shape[0], size=k, replace=False)]
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(axis=1)  # cosine on unit vectors
+        for c in range(k):
+            members = mat[assign == c]
+            if members.size:
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-30)
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k — the second scale path next to hyperplane LSH.
+
+    Index side: every vector is assigned to its nearest centroid cell (one
+    row per vector). Query side: every vector probes its ``n_probe`` nearest
+    cells (``n_probe`` rows per vector). Candidates = cell equi-join — the
+    quadratic cross join becomes a uniform-key join whose fan-in per cell is
+    corpus_size/n_cells on balanced data; n_cells scales with corpus size
+    (sqrt(n) rule) on a real deployment. Centroids are fit once (tiny,
+    deterministic) and closed over into the assignment UDF — the same
+    broadcast-a-small-model shape as the LSH plane matrix."""
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            embeddings, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    cent = centroids  # capture a local for the UDF closure
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = mat @ cent.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    with_cells = embeddings.select(
+        F.col(id_col).alias("uid"), F.col(vec_col).alias("vec"),
+        probe_cells(F.col(vec_col)).alias("cells"),
+    )
+    # index entries: primary cell only; queries: all probed cells
+    index_side = with_cells.select(
+        F.col("uid").alias("neighbor_id"), F.col("vec").alias("vb"),
+        F.col("cells")[0].alias("cell"),
+    )
+    query_side = with_cells.select(
+        F.col("uid").alias("vec_id"), F.col("vec").alias("va"),
+        F.explode("cells").alias("cell"),
+    )
+    cand = (
+        query_side.join(index_side, "cell")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", "va", "vb")
+        .dropDuplicates(["vec_id", "neighbor_id"])
+        .withColumn("cos_sim", F.round(_cos_col("va", "vb"), 6))
+        .drop("va", "vb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     dim: int | None = None,

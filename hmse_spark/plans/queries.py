@@ -395,6 +395,36 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, k=3, n_planes=4, n_bands=16)
 
 
+@register("ivf_topk", None)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — the second scale path (coarse-quantizer cells instead of
+    hyperplane buckets); recall vs the brute-force oracle is pytest-covered."""
+    from hmse_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, k=3, n_cells=8, n_probe=4)
+
+
+@register("multimodal_resize", None)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing at the driver surface (payload projected as a digest —
+    see q_minhash_signatures)."""
+    from hmse_spark.operators import multimodal
+
+    assets = multimodal.synthesize_assets(spark, n=48)
+    out = multimodal.resize_images(assets, width=64, height=48)
+    return out.select(
+        "asset_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "orig_width",
+        "orig_height",
+        F.octet_length("payload").alias("payload_bytes"),
+        F.xxhash64("payload").alias("payload_digest"),
+    )
+
+
 @register(
     "embedding_near_dups",
     """

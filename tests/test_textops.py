@@ -204,3 +204,43 @@ def test_frame_sample_plan(spark):
     for aid, grp in pdf.groupby("asset_id"):
         assert grp["ts_ms"].max() <= meta[aid]
         assert len(grp) == meta[aid] // 5000 + 1
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings").limit(200).cache()
+    k = 5
+    bf = similarity.brute_force_topk(emb, k=k)
+    # near-random vectors: generous probing needed for high recall, same as
+    # the hyperplane test — the point is the candidate-join shape, not tuning
+    ivf = similarity.ivf_topk(emb, k=k, n_cells=8, n_probe=4)
+    bf_set = {(r["vec_id"], r["neighbor_id"]) for r in bf.collect()}
+    ivf_set = {(r["vec_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.7, f"IVF recall {recall:.3f} too low"
+
+
+def test_ivf_centroids_deterministic(spark):
+    emb = load_table(spark, SF, "embeddings").limit(100)
+    c1 = similarity.fit_ivf_centroids(emb, n_cells=4, sample_rows=64)
+    c2 = similarity.fit_ivf_centroids(emb, n_cells=4, sample_rows=64)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_multimodal_resize_plumbing(spark):
+    assets = multimodal.synthesize_assets(spark, n=24)
+    out = multimodal.resize_images(assets, width=64, height=48).collect()
+    assert len(out) == 24
+    for r in out:
+        if r["kind"] == "image":
+            assert r["meta"]["width"] == 64 and r["meta"]["height"] == 48
+            assert r["orig_width"] is not None
+            assert len(r["payload"]) == max(64 * 48 // 8, 16)
+        else:
+            assert r["meta"]["width"] == r["orig_width"]  # untouched passthrough
+
+
+def test_multimodal_resize_strict_raises(spark):
+    assets = multimodal.synthesize_assets(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        multimodal.resize_images(assets, 32, 32, decode="strict").collect()
