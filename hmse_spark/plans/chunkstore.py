@@ -52,7 +52,12 @@ def build_chunk_store(
 ) -> ChunkStoreResult:
     from pyspark import StorageLevel
 
+    from hmse_spark.runtime import fan_out_small_input
+
     # ---- L2: content-defined chunks (narrow metadata, no bytes) -----------
+    # fan out first: the chunking UDF on a one-file scan would run on a
+    # single core (no-op at scale)
+    files = fan_out_small_input(files)
     chunks = fastcdc.chunk_files(files, cfg, content_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )

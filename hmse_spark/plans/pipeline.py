@@ -87,7 +87,7 @@ def run_near_dup_pipeline(
         "exact_index",
         lambda: exact_dedup.build_index(files_meta, sha_col="file_sha", id_col=id_col),
     )
-    reps = stage(
+    reps_cached = stage(
         "unique_reps",
         lambda: files_sha.join(
             index.select(F.col("canonical_id").alias(id_col)), id_col
@@ -95,9 +95,13 @@ def run_near_dup_pipeline(
     )
 
     # ---- L4: signatures on unique reps — ONE fused UDF pass reads content
-    # once for all variants (operators/fused.py)
+    # once for all variants (operators/fused.py). Small inputs are fanned out
+    # first: a single-file scan would otherwise pin the whole Arrow hot path
+    # to one core (no-op at scale — see runtime.fan_out_small_input).
     from hmse_spark.operators.fused import add_fused_signatures
+    from hmse_spark.runtime import fan_out_small_input
 
+    reps = fan_out_small_input(reps_cached)
     signatures = stage(
         "signatures",
         lambda: add_fused_signatures(reps, content_col, cfg, variants).select(
@@ -187,7 +191,7 @@ def run_near_dup_pipeline(
     # (verify was its last reader), so release it.
     labels = cc.connected_components(edges)
     if ckpt is None:
-        reps.unpersist()
+        reps_cached.unpersist()
     clusters = stage(
         "clusters",
         lambda: cc.attach_singletons(labels, files_meta, id_col).withColumnRenamed(
