@@ -135,17 +135,24 @@ def build_chunk_store(
 
     # ---- metrics -----------------------------------------------------------
     # coalesce the sums: an empty corpus (or all-empty files) yields zero
-    # records, where SUM() is NULL and int()/division would crash
+    # records, where SUM() is NULL and int()/division would crash.
+    # n_unique reuses the uid-check aggregate (uniq has one row per sha by
+    # construction) — 4 eager jobs total instead of 6
     logical = int(
         files.agg(F.coalesce(F.sum(F.octet_length(content_col)), F.lit(0))).first()[0]
     )
-    stored = int(records.agg(F.coalesce(F.sum("stored_len"), F.lit(0))).first()[0])
-    # the stored-len agg materialized every records partition (cache filled);
-    # the unique chunk bytes have no further consumer — release them
+    rec_row = records.agg(
+        F.coalesce(F.sum("stored_len"), F.lit(0)).alias("stored"),
+        F.coalesce(
+            F.sum((F.col("kind") == delta_op.KIND_DELTA).cast("long")), F.lit(0)
+        ).alias("n_delta"),
+    ).first()
+    stored, n_delta = int(rec_row["stored"]), int(rec_row["n_delta"])
+    # the records agg materialized every partition (cache filled); the unique
+    # chunk bytes have no further consumer — release them
     uniq.unpersist()
     n_chunks = chunks.count()
-    n_unique = chunk_index.count()
-    n_delta = records.filter(F.col("kind") == delta_op.KIND_DELTA).count()
+    n_unique = int(uid_row["n"])
     metrics = spark.createDataFrame(
         [
             {
