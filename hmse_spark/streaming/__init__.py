@@ -1,15 +1,23 @@
-"""Structured Streaming: intentionally absent.
+"""Structured Streaming front-end (optional mode).
 
 The reference is an explicitly offline, self-contained batch processor with
 no watermarks, stream windows, or late data (/root/reference/README.md:
 104-109, 195-199), and SURVEY.md §2.9 concludes no streaming operators are
-required. The north_rule's "resumable from checkpoint" requirement is batch
-checkpointing — implemented in hmse_spark/plans/checkpoint.py (atomic stage
-commits, per-partition lineage, partition-group resume), not Structured
-Streaming checkpoints.
+required — the north_rule's "resumable from checkpoint" requirement is batch
+checkpointing (hmse_spark/plans/checkpoint.py).
 
-If an incremental-ingest mode is ever needed, the natural seam is the
-exact-dedup stage: `readStream` the file table, anti-join new rows against
-the persisted chunk/signature indices, and append — every downstream
-operator already consumes plain DataFrames.
+Beyond that survey conclusion, the incremental-ingest mode maps naturally
+onto micro-batches, so ``streaming.ingest`` implements it: ``readStream``
+over a growing file directory -> ``foreachBatch`` -> the SAME
+plans/incremental.py path the batch mode uses, with exactly-once input
+handling from the streaming checkpoint and dedup state persisted as ordinary
+parquet/Iceberg appends. Watermarks stay absent by design: content identity
+is order-independent (min-id canonical), so late files are just another
+batch.
 """
+
+from hmse_spark.streaming.ingest import (  # noqa: F401
+    StreamState,
+    process_batch,
+    start_stream_ingest,
+)

@@ -1,0 +1,156 @@
+"""Structured Streaming front-end for the incremental-ingest mode.
+
+The reference is an explicitly offline batch processor (README.md:104-109),
+so streaming was surveyed as a non-goal — but the incremental module
+(plans/incremental.py) already does per-batch work proportional to the
+batch, and Structured Streaming's micro-batch model maps onto it exactly.
+This wraps it behind ``readStream`` + ``foreachBatch``:
+
+- source: a directory of parquet files (`spark.readStream.schema(...)
+  .parquet(dir)`) — new files become micro-batches; Spark's streaming
+  checkpoint (WAL + source offsets) guarantees each input file is processed
+  exactly once even across restarts;
+- per batch: exact hits against the PERSISTED index become pointer rows with
+  no L4 work; never-seen contents get signatures whose band rows are
+  appended to the persisted band table (semi-join-restricted candidacy, so
+  old buckets only re-expand when a new row actually touches them);
+- state: the index and band tables live as plain parquet/Iceberg appends
+  under ``state_dir`` — the SAME artifacts the batch pipeline checkpoints,
+  so batch and streaming modes are interchangeable mid-corpus;
+- trigger: ``availableNow`` drains everything currently in the directory and
+  stops — deterministic for tests and for cron-style catch-up runs;
+  ``processingTime`` keeps it running as a service.
+
+Watermarks/late data are deliberately absent: dedup identity is
+content-defined and order-independent (min-id canonical), so "late" files
+are just another batch — there is no event-time window to close.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hmse_spark.config import DEFAULT, PipelineConfig
+from hmse_spark.plans.incremental import ingest_increment
+
+INDEX_DIR = "index"
+BANDS_DIR = "bands"
+POINTERS_DIR = "pointers"
+PAIRS_DIR = "pairs"
+
+
+@dataclass
+class StreamState:
+    """Paths of the persisted dedup state a streaming ingest maintains."""
+
+    root: str
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def has(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+
+
+def _read_or_none(spark: SparkSession, state: StreamState, name: str) -> DataFrame | None:
+    if not state.has(name):
+        return None
+    return spark.read.parquet(state.path(name))
+
+
+def process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state: StreamState,
+    cfg: PipelineConfig = DEFAULT,
+    id_col: str = "file_id",
+    content_col: str = "content",
+) -> dict[str, int]:
+    """One micro-batch through the incremental path; appends pointer rows,
+    new signatures' band rows, new index entries, and new candidate pairs to
+    the persisted state. Returns batch counts (also usable as a metrics row).
+
+    Called by the foreachBatch sink, but deliberately a plain function over a
+    plain DataFrame: batch jobs and tests reuse it without a streaming query.
+    """
+    existing_index = _read_or_none(spark, state, INDEX_DIR)
+    existing_bands = _read_or_none(spark, state, BANDS_DIR)
+    if existing_index is None:
+        # bootstrap: an empty index with the right schema keeps the
+        # incremental path uniform from the very first batch
+        existing_index = spark.createDataFrame(
+            [], "file_sha string, refcount long, canonical_id long"
+        )
+
+    res = ingest_increment(
+        spark, batch_df, existing_index, existing_bands, cfg, id_col, content_col
+    )
+
+    # materialize counts BEFORE appending (the writes consume the plans)
+    n_batch = batch_df.count()
+    pointer_rows = res.pointer_rows.persist()
+    n_ptrs = pointer_rows.count()
+    sigs = res.new_signatures.persist()
+    n_new = sigs.count()
+    pairs = res.new_candidate_pairs.persist()
+    n_pairs = pairs.count()
+
+    pointer_rows.write.mode("append").parquet(state.path(POINTERS_DIR))
+    pairs.write.mode("append").parquet(state.path(PAIRS_DIR))
+    from hmse_spark.operators import lsh
+
+    lsh.explode_bands(sigs, id_col).write.mode("append").parquet(state.path(BANDS_DIR))
+    # new index entries: one row per never-seen sha of this batch
+    from hmse_spark.operators import exact_dedup
+
+    new_units = sigs.select(id_col, "file_sha")
+    exact_dedup.build_index(new_units, "file_sha", id_col).write.mode("append").parquet(
+        state.path(INDEX_DIR)
+    )
+    pointer_rows.unpersist()
+    sigs.unpersist()
+    pairs.unpersist()
+    return {
+        "batch_rows": n_batch,
+        "pointer_rows": n_ptrs,
+        "new_contents": n_new,
+        "new_candidate_pairs": n_pairs,
+    }
+
+
+def start_stream_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    state_root: str,
+    schema: str,
+    cfg: PipelineConfig = DEFAULT,
+    id_col: str = "file_id",
+    content_col: str = "content",
+    available_now: bool = True,
+    processing_time: str = "30 seconds",
+):
+    """readStream(parquet dir) -> foreachBatch(process_batch). Returns the
+    StreamingQuery; with ``available_now`` it drains pending files and stops
+    (await with ``q.awaitTermination()``)."""
+    state = StreamState(state_root)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        counts = process_batch(spark, batch_df, state, cfg, id_col, content_col)
+        # one metrics row per micro-batch, same keys as the dict
+        spark.createDataFrame([{"batch_id": batch_id, **counts}]).write.mode(
+            "append"
+        ).parquet(state.path("metrics"))
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", state.path("_stream_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
