@@ -177,6 +177,8 @@ def fit_ivf_centroids(
         .limit(sample_rows)
         .toPandas()
     )
+    if len(pdf) == 0:
+        return np.empty((0, 0))
     mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
     rng = np.random.default_rng(seed)
@@ -215,6 +217,10 @@ def ivf_topk(
     if centroids is None:
         centroids = fit_ivf_centroids(
             embeddings, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    if centroids.size == 0:  # empty input: empty result, same schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, neighbor_id long, cos_sim double, rank int"
         )
     cent = centroids  # capture a local for the UDF closure
 

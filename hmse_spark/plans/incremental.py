@@ -34,6 +34,8 @@ class IncrementalResult:
     pointer_rows: DataFrame    # new files that dedup against the existing index
     new_signatures: DataFrame  # signatures computed for never-seen contents
     new_candidate_pairs: DataFrame  # pairs touching at least one new unit
+    new_bands: DataFrame | None = None  # band rows to APPEND to the band table
+    index_delta: DataFrame | None = None  # index ledger rows to APPEND (see below)
 
 
 def ingest_increment(
@@ -47,11 +49,18 @@ def ingest_increment(
 ) -> IncrementalResult:
     new_sha = exact_dedup.with_sha(new_files, content_col, "file_sha")
 
-    # exact hits against the PERSISTED index -> pointer rows, zero L4 work
-    external_ptrs = new_sha.join(
-        existing_index.select("file_sha", F.col("canonical_id").alias("base_id")),
-        "file_sha",
-    ).select(id_col, "file_sha", "base_id")
+    # exact hits against the PERSISTED index -> pointer rows, zero L4 work.
+    # The id != base guard matters under at-least-once replay: a replayed
+    # batch finds its own shas in the index with canonical_id == its own ids
+    # and must not emit self-pointers.
+    external_ptrs = (
+        new_sha.join(
+            existing_index.select("file_sha", F.col("canonical_id").alias("base_id")),
+            "file_sha",
+        )
+        .filter(F.col(id_col) != F.col("base_id"))
+        .select(id_col, "file_sha", "base_id")
+    )
 
     # never-seen contents only (left_anti against the persisted index), then
     # dedup within the batch itself
@@ -97,8 +106,22 @@ def ingest_increment(
         )
     ).distinct()
 
+    # index LEDGER delta: one row per never-seen sha with its WITHIN-batch
+    # refcount + canonical, plus refcount-bump rows for external hits (the
+    # reference's "on hit, bump the refcount", README.md:1288-1293, as an
+    # append instead of a mutation). Readers aggregate the ledger:
+    # groupBy(file_sha).agg(sum(refcount), min(canonical_id)).
+    hit_bumps = external_ptrs.groupBy("file_sha").agg(
+        F.count("*").alias("refcount"), F.min("base_id").alias("canonical_id")
+    )
+    index_delta = batch_index.select(
+        "file_sha", "refcount", "canonical_id"
+    ).unionByName(hit_bumps.select("file_sha", "refcount", "canonical_id"))
+
     return IncrementalResult(
         pointer_rows=pointer_rows,
         new_signatures=sigs,
         new_candidate_pairs=touching_new,
+        new_bands=new_bands,
+        index_delta=index_delta,
     )

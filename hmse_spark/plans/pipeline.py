@@ -101,7 +101,7 @@ def run_near_dup_pipeline(
     from hmse_spark.operators.fused import add_fused_signatures
     from hmse_spark.runtime import fan_out_small_input
 
-    reps = fan_out_small_input(reps_cached)
+    reps = fan_out_small_input(reps_cached, probe=files)
     signatures = stage(
         "signatures",
         lambda: add_fused_signatures(reps, content_col, cfg, variants).select(

@@ -65,21 +65,27 @@ def ensure_on_executors(spark: SparkSession) -> None:
     setattr(sc, _SHIPPED_ATTR, True)
 
 
-def fan_out_small_input(df, min_parts: int | None = None):
+def fan_out_small_input(df, min_parts: int | None = None, probe=None):
     """Spread a low-partition-count DataFrame across the cluster before a
     UDF-heavy stage.
 
     A small corpus read from one parquet file arrives as ONE scan partition
-    (spark.sql.files.maxPartitionBytes), which serializes the entire Arrow
-    signature hot path onto a single core — measured 11.5 s -> ~1.5 s at
-    sf0.1 on local[32]. At production scale the input already has far more
-    partitions than cores, the guard is false, and NO shuffle is added; the
-    repartition only triggers exactly when its cost (shuffling a small
-    input) is trivially repaid by parallelism.
+    (spark.sql.files.maxPartitionBytes) — and AQE additionally coalesces
+    small post-join outputs to one partition — which serializes the entire
+    Arrow signature hot path onto a single core: measured 11.5 s -> ~1.5 s
+    at sf0.1 on local[32]. At production scale the input already has far
+    more partitions than cores, the guard is false, and NO shuffle is added.
+
+    ``probe``: the DataFrame whose partition count to inspect (default
+    ``df``). Probing an un-materialized join under AQE EXECUTES its shuffle
+    map stages just to finalize the plan; pass the raw source scan instead —
+    its partition count is static (file listing only, no job) and is the
+    same small-corpus signal.
     """
     spark = df.sparkSession
     if min_parts is None:
         min_parts = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_parts:
+    src = probe if probe is not None else df
+    if src.rdd.getNumPartitions() < min_parts:
         return df.repartition(min_parts)
     return df

@@ -56,10 +56,59 @@ class StreamState:
         return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
 
 
-def _read_or_none(spark: SparkSession, state: StreamState, name: str) -> DataFrame | None:
-    if not state.has(name):
+def _read_state(
+    spark: SparkSession,
+    state: StreamState,
+    name: str,
+    exclude_batch: int | None = None,
+) -> DataFrame | None:
+    """Read a state table, hiding the idempotency partition column.
+
+    ``exclude_batch`` is the replay-determinism half of the exactly-once
+    story (the other half is the batch_id-partitioned overwrite): a replayed
+    batch must read exactly the state its first run saw, so its OWN earlier
+    output — identifiable by batch_id, which streaming never reuses for new
+    input — is filtered out before it recomputes."""
+    p = state.path(name)
+    if not os.path.exists(p):
         return None
-    return spark.read.parquet(state.path(name))
+    try:
+        df = spark.read.parquet(p)
+    except Exception:
+        return None  # directory exists but holds no committed data yet
+    if exclude_batch is not None:
+        df = df.filter(F.col("batch_id") != exclude_batch)
+    return df.drop("batch_id")
+
+
+def read_index(
+    spark: SparkSession, state: StreamState, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """The exact-dedup index view over the append-only ledger: per-batch
+    refcount contributions (new shas AND hit bumps) aggregate to the same
+    (file_sha, refcount, canonical_id) shape the batch pipeline checkpoints —
+    reference semantics 'on hit, bump the refcount' as appends, so streaming
+    state needs no in-place mutation."""
+    ledger = _read_state(spark, state, INDEX_DIR, exclude_batch)
+    if ledger is None:
+        return None
+    return ledger.groupBy("file_sha").agg(
+        F.sum("refcount").alias("refcount"), F.min("canonical_id").alias("canonical_id")
+    )
+
+
+def _write_idempotent(df: DataFrame, batch_id: int, path: str) -> None:
+    """Replay-safe append: rows are stamped and partitioned by batch_id with
+    dynamic partition overwrite, so an at-least-once foreachBatch replay
+    (sink wrote, then the stream checkpoint failed to commit) overwrites its
+    own partition instead of double-appending."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
 
 
 def process_batch(
@@ -69,16 +118,17 @@ def process_batch(
     cfg: PipelineConfig = DEFAULT,
     id_col: str = "file_id",
     content_col: str = "content",
+    batch_id: int = 0,
 ) -> dict[str, int]:
     """One micro-batch through the incremental path; appends pointer rows,
-    new signatures' band rows, new index entries, and new candidate pairs to
-    the persisted state. Returns batch counts (also usable as a metrics row).
+    band rows, index-ledger rows, and candidate pairs to the persisted state
+    (idempotently, keyed by batch_id). Returns batch counts.
 
     Called by the foreachBatch sink, but deliberately a plain function over a
     plain DataFrame: batch jobs and tests reuse it without a streaming query.
     """
-    existing_index = _read_or_none(spark, state, INDEX_DIR)
-    existing_bands = _read_or_none(spark, state, BANDS_DIR)
+    existing_index = read_index(spark, state, exclude_batch=batch_id)
+    existing_bands = _read_state(spark, state, BANDS_DIR, exclude_batch=batch_id)
     if existing_index is None:
         # bootstrap: an empty index with the right schema keeps the
         # incremental path uniform from the very first batch
@@ -90,7 +140,7 @@ def process_batch(
         spark, batch_df, existing_index, existing_bands, cfg, id_col, content_col
     )
 
-    # materialize counts BEFORE appending (the writes consume the plans)
+    # materialize counts BEFORE the writes consume the plans
     n_batch = batch_df.count()
     pointer_rows = res.pointer_rows.persist()
     n_ptrs = pointer_rows.count()
@@ -99,18 +149,10 @@ def process_batch(
     pairs = res.new_candidate_pairs.persist()
     n_pairs = pairs.count()
 
-    pointer_rows.write.mode("append").parquet(state.path(POINTERS_DIR))
-    pairs.write.mode("append").parquet(state.path(PAIRS_DIR))
-    from hmse_spark.operators import lsh
-
-    lsh.explode_bands(sigs, id_col).write.mode("append").parquet(state.path(BANDS_DIR))
-    # new index entries: one row per never-seen sha of this batch
-    from hmse_spark.operators import exact_dedup
-
-    new_units = sigs.select(id_col, "file_sha")
-    exact_dedup.build_index(new_units, "file_sha", id_col).write.mode("append").parquet(
-        state.path(INDEX_DIR)
-    )
+    _write_idempotent(pointer_rows, batch_id, state.path(POINTERS_DIR))
+    _write_idempotent(pairs, batch_id, state.path(PAIRS_DIR))
+    _write_idempotent(res.new_bands, batch_id, state.path(BANDS_DIR))
+    _write_idempotent(res.index_delta, batch_id, state.path(INDEX_DIR))
     pointer_rows.unpersist()
     sigs.unpersist()
     pairs.unpersist()
@@ -140,11 +182,13 @@ def start_stream_ingest(
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        counts = process_batch(spark, batch_df, state, cfg, id_col, content_col)
-        # one metrics row per micro-batch, same keys as the dict
-        spark.createDataFrame([{"batch_id": batch_id, **counts}]).write.mode(
-            "append"
-        ).parquet(state.path("metrics"))
+        counts = process_batch(
+            spark, batch_df, state, cfg, id_col, content_col, batch_id=batch_id
+        )
+        # one metrics row per micro-batch, replay-safe like the state writes
+        _write_idempotent(
+            spark.createDataFrame([counts]), batch_id, state.path("metrics")
+        )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", state.path("_stream_checkpoint")

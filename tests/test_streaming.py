@@ -1,20 +1,19 @@
 """Structured Streaming incremental ingest: micro-batches through the
-incremental path, exactly-once across restarts, state interchangeable with
-the batch artifacts."""
+incremental path, replay-safe writes, ledger-index refcounts, state
+interchangeable with the batch artifacts."""
 
 from __future__ import annotations
-
-import os
 
 import pytest
 from pyspark.sql import functions as F
 
-from hmse_spark.streaming import StreamState, start_stream_ingest
+from hmse_spark.streaming import StreamState, process_batch, start_stream_ingest
+from hmse_spark.streaming.ingest import read_index
 
 SCHEMA = "file_id long, content string"
 
 
-def _write_batch(spark, path: str, rows, n: int) -> None:
+def _write_batch(spark, path: str, rows) -> None:
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
 
 
@@ -33,15 +32,11 @@ def test_stream_ingest_two_microbatches(spark, tmp_path):
         spark,
         input_dir,
         [(1, "alpha content " * 100), (2, "beta content " * 100), (3, "gamma content " * 100)],
-        1,
     )
     _drain(spark, input_dir, state_root)
-
-    idx = spark.read.parquet(state.path("index"))
-    assert idx.count() == 3
-    assert not os.path.exists(os.path.join(state.path("pointers"), "_SUCCESS")) or (
-        spark.read.parquet(state.path("pointers")).count() == 0
-    )
+    idx1 = read_index(spark, state)
+    assert idx1.count() == 3
+    assert {r["refcount"] for r in idx1.collect()} == {1}
 
     # batch 2: 10 = copy of 1's content (external dup), 20 = new,
     # 21 = copy of 20's content (within-batch dup)
@@ -53,7 +48,6 @@ def test_stream_ingest_two_microbatches(spark, tmp_path):
             (20, "delta content " * 100),
             (21, "delta content " * 100),
         ],
-        2,
     )
     _drain(spark, input_dir, state_root)
 
@@ -62,8 +56,15 @@ def test_stream_ingest_two_microbatches(spark, tmp_path):
         for r in spark.read.parquet(state.path("pointers")).collect()
     }
     assert ptrs == {10: 1, 21: 20}
-    idx2 = spark.read.parquet(state.path("index"))
-    assert idx2.count() == 4  # alpha/beta/gamma + delta; dups add no entries
+
+    # ledger semantics: refcounts aggregate per sha — alpha got a hit bump
+    # (1 + 1), delta counts both within-batch copies (2), beta/gamma stay 1
+    idx2 = read_index(spark, state)
+    counts = sorted(r["refcount"] for r in idx2.collect())
+    assert idx2.count() == 4 and counts == [1, 1, 2, 2]
+    canon = {r["canonical_id"] for r in idx2.collect()}
+    assert canon == {1, 2, 3, 20}
+
     # band state grew only by the genuinely new content's bands
     bands = spark.read.parquet(state.path("bands"))
     assert bands.select("uid").distinct().count() == 4
@@ -81,9 +82,31 @@ def test_stream_ingest_exactly_once_restart(spark, tmp_path):
     input_dir = str(tmp_path / "in")
     state_root = str(tmp_path / "state")
     state = StreamState(state_root)
-    _write_batch(spark, input_dir, [(1, "only doc " * 50)], 1)
+    _write_batch(spark, input_dir, [(1, "only doc " * 50)])
     _drain(spark, input_dir, state_root)
     n_metrics = spark.read.parquet(state.path("metrics")).count()
     _drain(spark, input_dir, state_root)  # restart, nothing new
     assert spark.read.parquet(state.path("metrics")).count() == n_metrics
-    assert spark.read.parquet(state.path("index")).count() == 1
+    assert read_index(spark, state).count() == 1
+
+
+def test_process_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: if the sink completed but the stream
+    checkpoint failed to commit, the SAME batch_id is replayed. The
+    batch_id-partitioned dynamic-overwrite writes must leave state identical
+    — no doubled refcounts, no self-pointers from the batch's own shas
+    already being in the index."""
+    state = StreamState(str(tmp_path / "state"))
+    batch = spark.createDataFrame(
+        [(1, "doc one " * 50), (2, "doc one " * 50), (3, "doc three " * 50)], SCHEMA
+    )
+    c1 = process_batch(spark, batch, state, batch_id=7)
+    idx_before = {(r["file_sha"], r["refcount"]) for r in read_index(spark, state).collect()}
+    c2 = process_batch(spark, batch, state, batch_id=7)  # replay
+    idx_after = {(r["file_sha"], r["refcount"]) for r in read_index(spark, state).collect()}
+    assert idx_before == idx_after
+    assert c1 == c2  # replay reads pre-batch state -> identical recomputation
+    ptrs = spark.read.parquet(state.path("pointers"))
+    assert ptrs.count() == 1  # (2 -> 1), once — and no self-pointers
+    assert ptrs.filter(F.col("file_id") == F.col("base_id")).count() == 0
+    assert c1["new_contents"] == 2

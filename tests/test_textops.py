@@ -244,3 +244,8 @@ def test_multimodal_resize_strict_raises(spark):
     assets = multimodal.synthesize_assets(spark, n=3)
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         multimodal.resize_images(assets, 32, 32, decode="strict").collect()
+
+
+def test_ivf_topk_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.ivf_topk(empty, k=3).count() == 0
