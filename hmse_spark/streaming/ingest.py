@@ -15,8 +15,11 @@ This wraps it behind ``readStream`` + ``foreachBatch``:
   appended to the persisted band table (semi-join-restricted candidacy, so
   old buckets only re-expand when a new row actually touches them);
 - state: the index and band tables live as plain parquet/Iceberg appends
-  under ``state_dir`` — the SAME artifacts the batch pipeline checkpoints,
-  so batch and streaming modes are interchangeable mid-corpus;
+  under ``state_dir`` — the same artifact SHAPES the batch pipeline
+  checkpoints (sha coverage and refcounts are batch-split-invariant; the one
+  deliberate divergence is canonical selection: streaming has a real arrival
+  order so canonicals are first-writer-wins, the reference's own rule, while
+  the order-less batch mode uses the global min id — pinned by test);
 - trigger: ``availableNow`` drains everything currently in the directory and
   stops — deterministic for tests and for cron-style catch-up runs;
   ``processingTime`` keeps it running as a service.

@@ -110,3 +110,50 @@ def test_process_batch_replay_is_idempotent(spark, tmp_path):
     assert ptrs.count() == 1  # (2 -> 1), once — and no self-pointers
     assert ptrs.filter(F.col("file_id") == F.col("base_id")).count() == 0
     assert c1["new_contents"] == 2
+
+
+@pytest.mark.parametrize("n_batches", [1, 2, 5])
+def test_ledger_index_is_batch_split_invariant(spark, tmp_path, n_batches):
+    """However a corpus is split into micro-batches, the aggregated ledger
+    must cover the same shas with the same total refcounts as the batch
+    pipeline's one-shot exact-dedup index.
+
+    Canonical ids are deliberately NOT split-invariant: streaming has a real
+    arrival order, so canonicals are first-writer-wins (the reference's own
+    rule, README.md:1288-1293) — min id of the EARLIEST batch containing the
+    sha — whereas the batch pipeline, having no arrival order, uses the
+    order-insensitive global min id. The second half of the test pins the
+    streaming rule explicitly."""
+    from hmse_spark.operators import exact_dedup
+
+    rows = [(i, f"content {i % 7} " * 60) for i in range(35)]  # 7 shas x 5 copies
+    full = spark.createDataFrame(rows, SCHEMA)
+    expected = {
+        (r["file_sha"], r["refcount"])
+        for r in exact_dedup.build_index(
+            exact_dedup.with_sha(full, "content", "file_sha"), "file_sha"
+        ).collect()
+    }
+
+    state = StreamState(str(tmp_path / f"state{n_batches}"))
+    batches = [
+        [r for i, r in enumerate(rows) if i % n_batches == b] for b in range(n_batches)
+    ]
+    for b, batch in enumerate(batches):
+        process_batch(spark, spark.createDataFrame(batch, SCHEMA), state, batch_id=b)
+    idx = read_index(spark, state).collect()
+    assert {(r["file_sha"], r["refcount"]) for r in idx} == expected
+
+    # first-writer-wins canonicals: min id of the earliest batch with the sha
+    import hashlib
+
+    first_writer = {}
+    for batch in batches:
+        for fid, content in batch:
+            sha = hashlib.sha256(content.encode()).hexdigest()
+            if sha not in first_writer:
+                first_writer[sha] = min(
+                    f for f, c in batch
+                    if hashlib.sha256(c.encode()).hexdigest() == sha
+                )
+    assert {r["file_sha"]: r["canonical_id"] for r in idx} == first_writer
