@@ -63,3 +63,19 @@ def jaccard_4gram(a: bytes, b: bytes) -> float:
         return 0.0
     inter = np.intersect1d(sa, sb, assume_unique=True).size
     return inter / (sa.size + sb.size - inter)
+
+
+def containment_4gram(a: bytes, b: bytes) -> float:
+    """Jaccard CONTAINMENT over 4-byte shingle sets: |A ∩ B| / min(|A|,|B|).
+
+    The superstring-dedup signal (Lee et al. 2022 removes contained
+    repeats): a document pasted inside a larger one scores ~1.0 here while
+    symmetric Jaccard shrinks with the size ratio. Empty-set edge cases
+    follow jaccard_4gram."""
+    sa, sb = shingle_set_u32(a), shingle_set_u32(b)
+    if sa.size == 0 and sb.size == 0:
+        return 1.0 if a == b else 0.0
+    if sa.size == 0 or sb.size == 0:
+        return 0.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / min(sa.size, sb.size)

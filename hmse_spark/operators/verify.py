@@ -93,3 +93,48 @@ def exact_verified_pairs(
         .drop("content_a", "content_b")
     )
     return out.filter(F.col("jaccard") >= F.lit(threshold))
+
+
+def containment_pairs(
+    pairs: DataFrame,
+    units: DataFrame,
+    id_col: str = "file_id",
+    content_col: str = "content",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Superstring dedup: candidate pairs where the smaller doc's shingles
+    are >= ``threshold`` contained in the other's — catches a document pasted
+    inside a larger one, which symmetric Jaccard misses (J shrinks with the
+    size ratio). Same join shape as exact_verified_pairs; candidates should
+    come from the anchor-fingerprint path, whose shared-window semantics is
+    exactly the substring-overlap signal containment quantifies."""
+    from pyspark.sql.functions import pandas_udf
+
+    from hmse_spark.functions.shingles import containment_4gram, jaccard_4gram
+
+    @pandas_udf("struct<containment double, jaccard double>")
+    def both_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x, y in zip(a, b):
+            xb = x.encode() if isinstance(x, str) else (x or b"")
+            yb = y.encode() if isinstance(y, str) else (y or b"")
+            rows.append((containment_4gram(xb, yb), jaccard_4gram(xb, yb)))
+        return pd.DataFrame(rows, columns=["containment", "jaccard"])
+
+    both_udf = both_udf.asNondeterministic()  # single evaluation (see above)
+
+    cont = units.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_content"))
+    out = (
+        pairs.join(cont.withColumnRenamed("_content", "content_a"), pairs.id_a == F.col("_id"))
+        .drop("_id")
+        .join(cont.withColumnRenamed("_content", "content_b"), pairs.id_b == F.col("_id"))
+        .drop("_id")
+        .withColumn("_m", both_udf(F.col("content_a"), F.col("content_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_m.containment"), 6).alias("containment"),
+            F.round(F.col("_m.jaccard"), 6).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("containment") >= F.lit(threshold))

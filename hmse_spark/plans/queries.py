@@ -674,6 +674,32 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.verified_pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@register("ngram_containment_pairs", None)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Superstring dedup: pairs where the smaller doc is >= 90% shingle-
+    contained in the other. Candidates from the anchor-fingerprint path
+    (shared >= L-byte windows — the substring-overlap signal), verified with
+    exact containment. A contained doc is synthesized (doc 0's text inside
+    filler) because the testdata has no natural containment pairs."""
+    from hmse_spark.operators import suffix, verify
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    base = corpus.select("file_id", "content")
+    planted = (
+        base.filter(F.col("file_id") < 5)
+        .select(
+            (F.col("file_id") + 500000).alias("file_id"),
+            F.concat(
+                F.lit("PREFIX FILLER " * 40), F.col("content"), F.lit(" SUFFIX FILLER " * 40)
+            ).alias("content"),
+        )
+    )
+    docs = base.unionByName(planted)
+    cands = suffix.anchor_candidate_pairs(docs)
+    return verify.containment_pairs(cands.select("id_a", "id_b"), docs, threshold=0.9)
+
+
 @register("training_data_curation", None)
 def q_training_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation showcase: quality gate -> near-dup clustering ->

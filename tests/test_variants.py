@@ -154,3 +154,33 @@ def test_suffix_array_group_byte_budget_chained_windows(spark):
     assert len(got) < 12 * 11 / 2
     lab = ref_clusters(list(range(12)), got)
     assert set(lab.values()) == {lab[0]}, "chained windows must keep one component"
+
+
+def test_containment_pairs_find_superstring_dups(spark):
+    """A doc pasted inside a larger doc: containment ~1.0 even though
+    symmetric Jaccard is small — the anchor candidates + containment verify
+    must find it, and plain Jaccard verify at 0.85 must not."""
+    from hmse_spark.operators import verify
+
+    import numpy as np
+    rng = np.random.default_rng(5)
+    inner = "".join(chr(int(c)) for c in rng.integers(97, 123, size=4000))
+    # random filler: shingle SETS collapse constant runs, so the surrounding
+    # text must be high-entropy for the outer doc's set to dwarf the inner's
+    pre = "".join(chr(int(c)) for c in rng.integers(97, 123, size=8000))
+    post = "".join(chr(int(c)) for c in rng.integers(97, 123, size=8000))
+    outer = pre + inner + post
+    other = "".join(chr(int(c)) for c in rng.integers(97, 123, size=5000))
+    df = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, other)], "file_id long, content string"
+    )
+    cands = suffix.anchor_candidate_pairs(df).select("id_a", "id_b")
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+        for r in verify.containment_pairs(cands, df, threshold=0.9).collect()
+    }
+    assert (1, 2) in got
+    c, j = got[(1, 2)]
+    assert c > 0.95 and j < 0.85  # containment fires where Jaccard can't
+    ver = verify.exact_verified_pairs(cands, df)
+    assert (1, 2) not in {(r["id_a"], r["id_b"]) for r in ver.collect()}
