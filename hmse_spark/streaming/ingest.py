@@ -167,6 +167,43 @@ def process_batch(
     }
 
 
+COMPACTED_BATCH_ID = -1  # never a real stream batch id; survives exclude_batch
+
+
+def compact_index(spark: SparkSession, state: StreamState) -> int:
+    """Offline maintenance: fold the index ledger's per-batch partitions into
+    one pre-aggregated partition (batch_id = -1).
+
+    The ledger read aggregates over every batch partition ever written; after
+    ~10^5 micro-batches that scan dominates each new batch's cost. Compaction
+    rewrites the ledger as a single partition holding the aggregate —
+    readers are unchanged (the aggregate of an aggregate is itself), and
+    replay determinism is preserved because -1 is never a live batch id so
+    exclude_batch never filters it. Run BETWEEN streaming runs (it is a full
+    overwrite, not coordinated with an in-flight foreachBatch).
+    Returns the number of ledger rows after compaction."""
+    idx = read_index(spark, state)
+    if idx is None:
+        return 0
+    # write-to-temp then swap: Spark refuses to overwrite a path its own
+    # plan reads from, and a partial in-place overwrite would corrupt the
+    # ledger on failure — the temp write either completes or changes nothing
+    import shutil
+
+    final = state.path(INDEX_DIR)
+    tmp = final + "_compacting"
+    (
+        idx.withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(tmp)
+    )
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(final)
+    os.rename(tmp, final)
+    return n
+
+
 def start_stream_ingest(
     spark: SparkSession,
     input_dir: str,

@@ -157,3 +157,37 @@ def test_ledger_index_is_batch_split_invariant(spark, tmp_path, n_batches):
                     if hashlib.sha256(c.encode()).hexdigest() == sha
                 )
     assert {r["file_sha"]: r["canonical_id"] for r in idx} == first_writer
+
+
+def test_compact_index_preserves_view(spark, tmp_path):
+    """Compaction folds the per-batch ledger into one partition; the
+    aggregated index view is identical before/after, and subsequent batches
+    keep working against the compacted state."""
+    from hmse_spark.streaming.ingest import compact_index
+
+    state = StreamState(str(tmp_path / "state"))
+    for b in range(3):
+        rows = [(b * 10 + i, f"doc {i % 2} batch-invariant " * 40) for i in range(4)]
+        process_batch(spark, spark.createDataFrame(rows, SCHEMA), state, batch_id=b)
+    before = {
+        (r["file_sha"], r["refcount"], r["canonical_id"])
+        for r in read_index(spark, state).collect()
+    }
+    n = compact_index(spark, state)
+    assert n == len(before) == 2  # two distinct contents
+    after = {
+        (r["file_sha"], r["refcount"], r["canonical_id"])
+        for r in read_index(spark, state).collect()
+    }
+    assert after == before
+    # one physical partition now
+    ledger = spark.read.parquet(state.path("index"))
+    assert {r["batch_id"] for r in ledger.select("batch_id").distinct().collect()} == {-1}
+    # next batch still hits the compacted index
+    c = process_batch(
+        spark,
+        spark.createDataFrame([(99, "doc 0 batch-invariant " * 40)], SCHEMA),
+        state,
+        batch_id=3,
+    )
+    assert c["pointer_rows"] == 1 and c["new_contents"] == 0
