@@ -54,6 +54,10 @@ def main(argv: list[str] | None = None) -> None:
     builder = SparkSession.builder.appName("hmse_near_dup_pipeline")
     builder = builder.config("spark.sql.adaptive.enabled", "true")
     builder = builder.config("spark.sql.adaptive.skewJoin.enabled", "true")
+    # keep post-shuffle parallelism on small inputs (see session.py)
+    builder = builder.config(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k"
+    )
     builder = builder.config("spark.sql.execution.arrow.pyspark.enabled", "true")
     if args.shuffle_partitions:
         builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))

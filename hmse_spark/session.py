@@ -33,6 +33,13 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stops respecting defaultParallelism once post-
+        # shuffle partitions fall under minPartitionSize (1 MiB default) —
+        # on a small corpus that coalesces the join feeding the signature
+        # UDFs down to ONE partition, single-coring the Arrow hot path.
+        # 64 KiB keeps parallelism for anything bigger than ~cores x 64 KiB
+        # and is invisible at scale (real partitions are >> 1 MiB).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
