@@ -218,9 +218,20 @@ def ivf_topk(
         centroids = fit_ivf_centroids(
             embeddings, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
         )
-    if centroids.size == 0:  # empty input: empty result, same schema
+    if centroids.size == 0:  # empty input: empty result, id type from input
+        from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+        id_type = embeddings.schema[id_col].dataType
         return embeddings.sparkSession.createDataFrame(
-            [], "vec_id long, neighbor_id long, cos_sim double, rank int"
+            [],
+            StructType(
+                [
+                    StructField("vec_id", id_type),
+                    StructField("neighbor_id", id_type),
+                    StructField("cos_sim", DoubleType()),
+                    StructField("rank", IntegerType()),
+                ]
+            ),
         )
     cent = centroids  # capture a local for the UDF closure
 

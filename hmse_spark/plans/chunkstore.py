@@ -49,7 +49,13 @@ def build_chunk_store(
     cfg: PipelineConfig = DEFAULT,
     id_col: str = "file_id",
     content_col: str = "content",
+    probe: DataFrame | None = None,
 ) -> ChunkStoreResult:
+    """Build the L1-L4 chunk store over ``files``.
+
+    ``probe``: cheap DataFrame for the fan-out partition check (see
+    runtime.fan_out_small_input) — pass the underlying scan when ``files``
+    is a join/aggregate, else probing it executes its shuffle stages."""
     from pyspark import StorageLevel
 
     from hmse_spark.runtime import fan_out_small_input
@@ -57,7 +63,7 @@ def build_chunk_store(
     # ---- L2: content-defined chunks (narrow metadata, no bytes) -----------
     # fan out first: the chunking UDF on a one-file scan would run on a
     # single core (no-op at scale)
-    files = fan_out_small_input(files)
+    files = fan_out_small_input(files, probe=probe)
     chunks = fastcdc.chunk_files(files, cfg, content_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )

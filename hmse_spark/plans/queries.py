@@ -441,9 +441,11 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                           sqrt(list_inner_product(b.emb, b.emb)), 1e-30), 6)
                 AS DOUBLE) AS cos_sim
     FROM u a JOIN u b ON a.vec_id < b.vec_id
-    WHERE list_inner_product(a.emb, b.emb) /
+    -- threshold on the ROUNDED value, exactly like the Spark side, so a
+    -- near-threshold cosine can't pass one engine and fail the other
+    WHERE ROUND(list_inner_product(a.emb, b.emb) /
           greatest(sqrt(list_inner_product(a.emb, a.emb)) *
-                   sqrt(list_inner_product(b.emb, b.emb)), 1e-30) >= 0.9999
+                   sqrt(list_inner_product(b.emb, b.emb)), 1e-30), 6) >= 0.9999
     """,
 )
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,6 +59,20 @@ class StreamState:
         return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) via the JVM — state may live on HDFS/S3, where
+    driver-local os.path checks are always False and would silently make
+    every batch bootstrap an empty index while writes happily land remote."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _hadoop_fs(spark, path)
+    return fs.exists(p)
+
+
 def _read_state(
     spark: SparkSession,
     state: StreamState,
@@ -73,12 +87,26 @@ def _read_state(
     output — identifiable by batch_id, which streaming never reuses for new
     input — is filtered out before it recomputes."""
     p = state.path(name)
-    if not os.path.exists(p):
+    if not _fs_exists(spark, p):
+        # a crashed compaction swap leaves the data under the staging name —
+        # fail loudly instead of bootstrapping an empty index over it
+        if _fs_exists(spark, p + "_compacting"):
+            raise RuntimeError(
+                f"state table {p} missing but {p}_compacting exists: a "
+                "compaction was interrupted mid-swap; rename it back before "
+                "resuming ingest"
+            )
         return None
     try:
         df = spark.read.parquet(p)
-    except Exception:
-        return None  # directory exists but holds no committed data yet
+    except Exception as e:
+        # only the empty-committed-directory case means "no state yet";
+        # anything else (corrupt footer, transient FS error) must NOT be
+        # mistaken for an empty index — that would re-sign every sha and
+        # permanently double refcounts once the error clears
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "Unable to infer schema" in str(e):
+            return None
+        raise
     if exclude_batch is not None:
         df = df.filter(F.col("batch_id") != exclude_batch)
     return df.drop("batch_id")
@@ -121,7 +149,8 @@ def process_batch(
     cfg: PipelineConfig = DEFAULT,
     id_col: str = "file_id",
     content_col: str = "content",
-    batch_id: int = 0,
+    *,
+    batch_id: int,
 ) -> dict[str, int]:
     """One micro-batch through the incremental path; appends pointer rows,
     band rows, index-ledger rows, and candidate pairs to the persisted state
@@ -129,7 +158,12 @@ def process_batch(
 
     Called by the foreachBatch sink, but deliberately a plain function over a
     plain DataFrame: batch jobs and tests reuse it without a streaming query.
+    ``batch_id`` is REQUIRED and must be unique per distinct input batch —
+    reusing one id means "this is a replay of that batch": its earlier
+    output is excluded from the state read and overwritten. Two different
+    batches sent under one id would silently destroy each other's state.
     """
+    batch_df = batch_df.persist()  # content read by sha, signatures, verify
     existing_index = read_index(spark, state, exclude_batch=batch_id)
     existing_bands = _read_state(spark, state, BANDS_DIR, exclude_batch=batch_id)
     if existing_index is None:
@@ -159,6 +193,7 @@ def process_batch(
     pointer_rows.unpersist()
     sigs.unpersist()
     pairs.unpersist()
+    batch_df.unpersist()
     return {
         "batch_rows": n_batch,
         "pointer_rows": n_ptrs,
@@ -187,9 +222,11 @@ def compact_index(spark: SparkSession, state: StreamState) -> int:
         return 0
     # write-to-temp then swap: Spark refuses to overwrite a path its own
     # plan reads from, and a partial in-place overwrite would corrupt the
-    # ledger on failure — the temp write either completes or changes nothing
-    import shutil
-
+    # ledger on failure — the temp write either completes or changes
+    # nothing. The swap itself is two renames via the Hadoop FS API
+    # (portable to HDFS/S3A, unlike shutil); the only crash window leaves
+    # the data under the _compacting name, which _read_state detects and
+    # refuses to silently treat as an empty index.
     final = state.path(INDEX_DIR)
     tmp = final + "_compacting"
     (
@@ -199,8 +236,11 @@ def compact_index(spark: SparkSession, state: StreamState) -> int:
         .parquet(tmp)
     )
     n = spark.read.parquet(tmp).count()
-    shutil.rmtree(final)
-    os.rename(tmp, final)
+    fs, final_p = _hadoop_fs(spark, final)
+    _, tmp_p = _hadoop_fs(spark, tmp)
+    fs.delete(final_p, True)
+    if not fs.rename(tmp_p, final_p):
+        raise RuntimeError(f"compaction swap failed: could not rename {tmp} -> {final}")
     return n
 
 
