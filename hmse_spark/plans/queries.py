@@ -676,6 +676,110 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.verified_pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@register(
+    "events_daily_activity",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series rollup (SURVEY.md §2.4): date_trunc bucketing + distinct
+    count — one shuffle; the distinct-count expands to a two-phase aggregate
+    Catalyst plans itself."""
+    # day as a STRING: Spark dates materialize as python objects while
+    # DuckDB's come back datetime64 — the driver's dtype-kind check flags it
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@register(
+    "part_price_buckets",
+    """
+    SELECT CASE WHEN p_retailprice < 500 THEN 'low'
+                WHEN p_retailprice < 1000 THEN 'mid'
+                WHEN p_retailprice < 1500 THEN 'high'
+                ELSE 'premium' END AS price_band,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(ROUND(AVG(p_retailprice), 4) AS DOUBLE) AS avg_price,
+           CAST(ROUND(AVG(p_size), 6) AS DOUBLE) AS avg_size
+    FROM part GROUP BY 1
+    """,
+)
+def q_part_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram bucketing via CASE bands (SURVEY.md §2.4 breadth)."""
+    part = load_table(spark, sf_dir, "part")
+    p = F.col("p_retailprice")
+    band = (
+        F.when(p < 500, "low")
+        .when(p < 1000, "mid")
+        .when(p < 1500, "high")
+        .otherwise("premium")
+    )
+    return part.groupBy(band.alias("price_band")).agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.round(F.avg("p_size"), 6).alias("avg_size"),
+    )
+
+
+@register(
+    "doc_embedding_profile",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             CAST(ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                        / greatest(length(text), 1), 6) AS DOUBLE) AS alpha_ratio
+      FROM documents
+    ), e AS (
+      SELECT vec_id,
+             CAST(ROUND(sqrt(list_inner_product(
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6)
+                  AS DOUBLE) AS emb_norm
+      FROM embeddings
+    )
+    SELECT q.doc_id, q.alpha_ratio, e.emb_norm
+    FROM q JOIN e ON q.doc_id = e.vec_id
+    """,
+)
+def q_doc_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join (documents x embeddings on the shared id): a text
+    quality signal next to the embedding L2 norm — the join every semantic-
+    dedup / quality-filter pipeline runs before combining signals."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = F.col("text")
+    q = docs.select(
+        "doc_id",
+        F.round(
+            F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+            / F.greatest(F.length(t), F.lit(1)),
+            6,
+        ).alias("alpha_ratio"),
+    )
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            F.sqrt(
+                F.aggregate(d, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+            ),
+            6,
+        ).alias("emb_norm"),
+    )
+    return q.join(e, "doc_id").select("doc_id", "alpha_ratio", "emb_norm")
+
+
 @register("ngram_containment_pairs", None)
 def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Superstring dedup: pairs where the smaller doc is >= 90% shingle-
