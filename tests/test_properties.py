@@ -87,3 +87,29 @@ def test_simhash_batch_invariant(contents):
     full = simhash_batch(contents)
     for i, c in enumerate(contents):
         assert simhash_batch([c])[0] == full[i]
+
+
+@given(BYTES, BYTES)
+def test_containment_bounds_and_dominance(a, b):
+    """containment is symmetric, in [0,1], and always >= jaccard (the
+    intersection is divided by the smaller set instead of the union)."""
+    from hmse_spark.functions.shingles import containment_4gram
+
+    c = containment_4gram(a, b)
+    assert c == containment_4gram(b, a)
+    assert 0.0 <= c <= 1.0
+    assert c >= jaccard_4gram(a, b) - 1e-12
+
+
+@given(BYTES, BYTES, BYTES)
+def test_containment_of_substring_is_one(a, prefix, suffix):
+    """Every 4-gram of a doc survives intact inside any superstring of it,
+    so containment(doc, prefix+doc+suffix) == 1 whenever doc has >= 1
+    shingle."""
+    from hmse_spark.functions.shingles import containment_4gram
+
+    if len(a) < 4:
+        # sub-shingle docs carry a SYNTHETIC padded shingle that by design
+        # only matches byte-identical docs, never superstrings
+        return
+    assert containment_4gram(a, prefix + a + suffix) == 1.0

@@ -1,0 +1,110 @@
+"""Skew-handling evidence: a corpus with a mega-cluster (the reference's
+hot-bucket regime, README.md:1929-1933, taken to the extreme) through the
+full pipeline under each oversized-bucket strategy.
+
+Every member of the mega-cluster lands in the same LSH bucket in all 4
+bands; uncapped expansion would be m(m-1)/2 pairs per band. The run reports
+wall time, candidate-pair counts, and the capped-bucket accounting for:
+
+- hub star (default): m-1 pairs per oversized bucket;
+- explicit salting: bounded per-group self-joins linked via the bucket min.
+
+Usage: python tools/skew_stress.py [--mega 5000] [--unique 2000]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mega", type=int, default=5000, help="identical-doc cluster size")
+    ap.add_argument("--unique", type=int, default=2000)
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from hmse_spark.config import DEFAULT
+    from hmse_spark.plans.pipeline import run_near_dup_pipeline
+    from hmse_spark.runtime import ensure_on_executors
+    from hmse_spark.session import build_session
+
+    spark = build_session("skew_stress", master=f"local[{args.cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_on_executors(spark)
+
+    # near-identical, NOT byte-identical: a tiny unique tail keeps every doc
+    # a distinct sha (so exact dedup does NOT collapse them before L4) while
+    # Jaccard ~= 1 keeps them in one LSH bucket per band — the true hot
+    # bucket, not an exact-dup star
+    # the body must be HIGH-ENTROPY so its unique-shingle count dwarfs the
+    # tail's (a repetitive string has ~repeat-unit-length unique shingles and
+    # the tail wins MinHash seeds often enough to splinter the bucket);
+    # ~8 KB random text ~= 8k unique shingles vs ~4 tail shingles ->
+    # P(all 4 bands unchanged) ~= 95%, i.e. a genuine hot bucket
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    mega_body = "".join(chr(int(c)) for c in rng.integers(97, 123, size=8000))
+    rows = [(i, "r", f"m{i}", "c", "c", mega_body + str(i)) for i in range(args.mega)]
+    rows += [
+        (args.mega + i, "r", f"u{i}", "c", "c", f"genuinely unique module {i} " * 80)
+        for i in range(args.unique)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "file_id long, repo string, path string, commit string, lang string, content string",
+        )
+        .repartition(args.cpus * 2)
+        .persist()
+    )
+    df.count()
+
+    out: dict[str, dict] = {}
+    for strategy in ("hub", "salt"):
+        cfg = dataclasses.replace(DEFAULT, skew_strategy=strategy)
+        t0 = time.time()
+        res = run_near_dup_pipeline(spark, df, cfg=cfg)
+        m = res.metrics.first().asDict()
+        wall = round(time.time() - t0, 1)
+        labels = res.clusters.groupBy("cluster_id").count()
+        biggest = labels.agg(F.max("count")).first()[0]
+        out[strategy] = {
+            "wall_sec": wall,
+            "n_candidate_pairs": m["n_candidate_pairs"],
+            "n_verified_pairs": m["n_verified_pairs"],
+            "n_clusters": m["n_clusters"],
+            "biggest_cluster": int(biggest),
+            "n_capped_buckets": m["n_capped_buckets"],
+            "pairs_elided_by_cap": m["pairs_elided_by_cap"],
+        }
+        spark.catalog.clearCache()
+        df.persist().count()
+
+    uncapped_pairs = args.mega * (args.mega - 1) // 2
+    json.dump(
+        {
+            "mega": args.mega,
+            "unique": args.unique,
+            "uncapped_pairs_would_be": uncapped_pairs,
+            **out,
+        },
+        sys.stdout,
+    )
+    print()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
