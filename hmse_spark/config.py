@@ -51,6 +51,14 @@ class PipelineConfig:
     # Similarity / delta (README.md:373-377, 1328, 2174-2175)
     jaccard_threshold: float = 0.85   # high-confidence regime s >= 0.85
     delta_max_fraction: float = 0.20  # keep delta only if <= 20% of original
+    # Optional estimator pre-prune before exact verification: drop candidate
+    # pairs whose est-Jaccard (128-sample signature agreement) is below
+    # threshold - slack, BEFORE joining content back. Exact verification
+    # ships each doc's content once per surviving pair — pruning with a
+    # generous slack (0.15 ~= 3.3 sigma at n=128) cuts that content shuffle
+    # to near-final pairs at a ~5e-4 per-pair miss risk. None (default)
+    # keeps verification deterministic-exact (the recall-1.0 guarantee).
+    verify_prune_slack: float | None = None
 
     # SimHash variant (driver-mandated; Charikar 2002 / Manku et al. WWW 2007)
     simhash_bits: int = 64

@@ -162,10 +162,23 @@ def run_near_dup_pipeline(
     candidates = stage("candidate_pairs", lambda: candidates.distinct())
 
     # ---- verification: exact Jaccard on the pruned candidate set ----------
+    # optional estimator pre-prune (cfg.verify_prune_slack): signature-only,
+    # so the content join below ships bytes only for near-final pairs — at
+    # scale a hub doc otherwise ships its content once per candidate pair
+    to_verify = candidates
+    if cfg.verify_prune_slack is not None and "minhash" in variants:
+        est = verify.verified_pairs(
+            candidates,
+            signatures,
+            id_col,
+            cfg,
+            threshold=cfg.jaccard_threshold - cfg.verify_prune_slack,
+        )
+        to_verify = est.select("id_a", "id_b")
     verified = stage(
         "verified_pairs",
         lambda: verify.exact_verified_pairs(
-            candidates, reps, id_col, content_col, cfg
+            to_verify, reps, id_col, content_col, cfg
         ),
     )
 

@@ -87,3 +87,28 @@ def test_invariant_column_preserved(pipeline_result):
     rows = res.files.select("file_id", "content", "file_sha").limit(20).collect()
     for r in rows:
         assert r["file_sha"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_estimator_preprune_preserves_results(spark):
+    """cfg.verify_prune_slack prunes candidates on the signature estimate
+    BEFORE the content join; with the documented 0.15 slack the final
+    verified pairs and clusters must be unchanged on the seeded corpus."""
+    import dataclasses
+
+    from hmse_spark.config import DEFAULT
+    from hmse_spark.corpus import CorpusSpec, corpus_to_spark, generate_corpus
+
+    df = corpus_to_spark(spark, generate_corpus(CorpusSpec(n_files=120)))
+    base = run_near_dup_pipeline(spark, df, with_metrics=False)
+    pruned = run_near_dup_pipeline(
+        spark,
+        df,
+        cfg=dataclasses.replace(DEFAULT, verify_prune_slack=0.15),
+        with_metrics=False,
+    )
+    a = {(r["id_a"], r["id_b"]) for r in base.verified_pairs.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in pruned.verified_pairs.collect()}
+    assert a == b
+    la = {r["file_id"]: r["cluster_id"] for r in base.clusters.collect()}
+    lb = {r["file_id"]: r["cluster_id"] for r in pruned.clusters.collect()}
+    assert la == lb
