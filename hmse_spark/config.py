@@ -83,6 +83,12 @@ class PipelineConfig:
     shuffle_partitions: int = 32
     corpus_seed: int = 42
 
+    def __post_init__(self) -> None:
+        if self.verify_prune_slack is not None and self.verify_prune_slack < 0:
+            # a negative slack would prune ABOVE the accept threshold and
+            # silently drop true-positive pairs before exact verification
+            raise ValueError("verify_prune_slack must be >= 0 (or None)")
+
     @property
     def seeds(self) -> list[int]:
         return list(range(self.seed_start, self.seed_start + self.num_hashes))

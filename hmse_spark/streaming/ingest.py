@@ -55,8 +55,14 @@ class StreamState:
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def has(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+    def has(self, name: str, spark: SparkSession | None = None) -> bool:
+        """Committed-state check through the Hadoop FS (HDFS/S3-safe);
+        falls back to a local check only when no session exists."""
+        marker = os.path.join(self.path(name), "_SUCCESS")
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            return os.path.exists(marker)
+        return _fs_exists(spark, marker)
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -88,14 +94,15 @@ def _read_state(
     input — is filtered out before it recomputes."""
     p = state.path(name)
     if not _fs_exists(spark, p):
-        # a crashed compaction swap leaves the data under the staging name —
+        # a crashed compaction swap leaves the data under a staging name —
         # fail loudly instead of bootstrapping an empty index over it
-        if _fs_exists(spark, p + "_compacting"):
-            raise RuntimeError(
-                f"state table {p} missing but {p}_compacting exists: a "
-                "compaction was interrupted mid-swap; rename it back before "
-                "resuming ingest"
-            )
+        for staged in (p + "_compacting", p + "_precompact"):
+            if _fs_exists(spark, staged):
+                raise RuntimeError(
+                    f"state table {p} missing but {staged} exists: a "
+                    "compaction was interrupted mid-swap; rename it back "
+                    "before resuming ingest"
+                )
         return None
     try:
         df = spark.read.parquet(p)
@@ -223,12 +230,18 @@ def compact_index(spark: SparkSession, state: StreamState) -> int:
     # write-to-temp then swap: Spark refuses to overwrite a path its own
     # plan reads from, and a partial in-place overwrite would corrupt the
     # ledger on failure — the temp write either completes or changes
-    # nothing. The swap itself is two renames via the Hadoop FS API
-    # (portable to HDFS/S3A, unlike shutil); the only crash window leaves
-    # the data under the _compacting name, which _read_state detects and
-    # refuses to silently treat as an empty index.
+    # nothing. The swap is rename-aside -> rename-in -> delete-old (renames
+    # are atomic on HDFS/local; a recursive delete of the LIVE path is not,
+    # which is why the old data is moved aside rather than deleted in
+    # place). Every crash window leaves `final` either absent with a staged
+    # copy (_compacting/_precompact — _read_state detects both and refuses
+    # to treat it as an empty index) or fully swapped with a stale
+    # _precompact leftover, which the next compaction clears. On rename-as-
+    # copy object stores (S3A without a committer) run compaction only from
+    # an offline maintenance window.
     final = state.path(INDEX_DIR)
     tmp = final + "_compacting"
+    old = final + "_precompact"
     (
         idx.withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
         .write.mode("overwrite")
@@ -238,9 +251,14 @@ def compact_index(spark: SparkSession, state: StreamState) -> int:
     n = spark.read.parquet(tmp).count()
     fs, final_p = _hadoop_fs(spark, final)
     _, tmp_p = _hadoop_fs(spark, tmp)
-    fs.delete(final_p, True)
+    _, old_p = _hadoop_fs(spark, old)
+    if fs.exists(old_p):
+        fs.delete(old_p, True)  # stale leftover from a completed swap
+    if not fs.rename(final_p, old_p):
+        raise RuntimeError(f"compaction swap failed: could not move {final} aside")
     if not fs.rename(tmp_p, final_p):
         raise RuntimeError(f"compaction swap failed: could not rename {tmp} -> {final}")
+    fs.delete(old_p, True)
     return n
 
 

@@ -98,3 +98,27 @@ def test_random_worst_case(spark):
     assert m["unique_ratio"] == 1.0
     ver = reconstruct_and_verify(spark, df, res)
     assert ver.filter("ok").count() == 20
+
+
+def test_build_chunk_store_probe_param(spark):
+    """A joined/filtered input can pass the cheap underlying scan as the
+    fan-out probe — results must match the default-probe run."""
+    from hmse_spark.corpus import CorpusSpec, corpus_to_spark, generate_corpus
+
+    scan = corpus_to_spark(spark, generate_corpus(CorpusSpec(n_files=40)))
+    keep = scan.select("file_id").filter(F.col("file_id") % 2 == 0)
+    joined = scan.join(keep, "file_id")
+    a = build_chunk_store(spark, joined).metrics.first().asDict()
+    b = build_chunk_store(spark, joined, probe=scan).metrics.first().asDict()
+    assert a == b
+
+
+def test_config_rejects_negative_prune_slack():
+    import dataclasses
+
+    import pytest as _pytest
+
+    from hmse_spark.config import DEFAULT
+
+    with _pytest.raises(ValueError, match="verify_prune_slack"):
+        dataclasses.replace(DEFAULT, verify_prune_slack=-0.05)

@@ -20,7 +20,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 from hmse_spark.operators import exact_dedup  # noqa: E402
 from hmse_spark.sources.tables import load_table  # noqa: E402
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
 
 
 def _physical(df) -> str:
