@@ -1,0 +1,71 @@
+"""As-of (time-travel) join — an operator Spark's DataFrame API lacks.
+
+``asof_join(left, right, ...)``: for every left row, attach the columns of
+the LATEST right row with the same key and ``right.ts <= left.ts`` (the
+classic point-in-time lookup: "the most recent purchase before this view",
+"the prevailing price at trade time").
+
+Spark re-expression — no range join, no per-key UDF:
+
+    union both sides (right rows carry the payload columns, left rows carry
+    NULLs for them) -> ONE window over (key, ordered by ts with right rows
+    sorting before left rows at equal ts for inclusive semantics) ->
+    ``last(payload, ignorenulls=True)`` forward-fills each payload column ->
+    keep only left rows.
+
+Cost model at scale: a single hash exchange on the key plus a per-key sort —
+the same shape as any windowed aggregation, linear in |left| + |right|.
+The naive alternative (theta join on key AND ts-range, then max-per-left-row)
+explodes to |left| x |matching right| intermediate rows; this never
+materializes more than one row per input row.
+
+Semantics are verified against DuckDB's native ASOF LEFT JOIN by the
+``asof_last_purchase`` driver query (plans/queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """For each left row: the latest right row per key with right ts <= left
+    ts (inclusive). Right-only columns come back NULL where no right row
+    precedes the left row — LEFT-asof semantics.
+
+    ``left`` and ``right`` must share only the key column(s) and ``ts_col``;
+    every other right column is treated as payload and forward-filled.
+    ``tiebreak_col`` (a right column) pins which right row wins when two
+    right rows share a timestamp — REQUIRED for deterministic output if such
+    ties can occur; with distinct timestamps it is irrelevant.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    shared = set(keys) | {ts_col}
+    payload = [c for c in right.columns if c not in shared]
+    overlap = [c for c in left.columns if c in payload]
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {overlap}")
+
+    combined = left.withColumn("_is_left", F.lit(True)).unionByName(
+        right.withColumn("_is_left", F.lit(False)), allowMissingColumns=True
+    )
+    # right rows sort BEFORE left rows at equal ts => inclusive (<=) match;
+    # among equal-ts right rows the tiebreak column pins the winner
+    order = [F.col(ts_col).asc(), F.col("_is_left").cast("int").asc()]
+    if tiebreak_col is not None:
+        order.insert(1, F.col(tiebreak_col).asc_nulls_first())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in payload:
+        combined = combined.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return combined.filter(F.col("_is_left")).drop("_is_left")

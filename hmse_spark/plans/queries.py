@@ -733,6 +733,40 @@ def q_part_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_last_purchase",
+    """
+    SELECT v.event_id,
+           CAST(v.user_id AS BIGINT) AS user_id,
+           p.event_id AS last_purchase_id,
+           CAST(ROUND(p.value, 4) AS DOUBLE) AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks; operators/asof.py): for every
+    'view' event, the user's most recent prior-or-simultaneous 'purchase' —
+    oracle-checked against DuckDB's NATIVE ASOF LEFT JOIN, so the union+
+    window re-expression is held to the reference semantics exactly."""
+    from hmse_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("last_purchase_id"),
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("last_purchase_value"),
+    )
+    return asof_join(views, purchases, on="user_id", ts_col="ts").select(
+        "event_id", "user_id", "last_purchase_id", "last_purchase_value"
+    )
+
+
+@register(
     "doc_embedding_profile",
     """
     WITH q AS (

@@ -1,0 +1,69 @@
+"""As-of join semantics (operators/asof.py): inclusive point-in-time lookup,
+LEFT behavior with no preceding right row, per-key isolation, tie pinning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hmse_spark.operators.asof import asof_join
+
+
+def _ts(s: str):
+    return f"2024-01-01 {s}"
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("10:00:00")),
+            (2, 10, _ts("11:00:00")),
+            (3, 10, _ts("09:00:00")),  # before any right row
+            (4, 20, _ts("10:30:00")),  # other key
+            (5, 30, _ts("12:00:00")),  # key with no right rows at all
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("09:30:00"), 1.0),
+            (101, 10, _ts("10:00:00"), 2.0),  # simultaneous with left 1
+            (102, 10, _ts("10:45:00"), 3.0),
+            (103, 20, _ts("10:00:00"), 4.0),
+        ],
+        "rid long, user_id long, ts string, val double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    return left, right
+
+
+def test_asof_join_semantics(spark, frames):
+    left, right = frames
+    out = {
+        r["event_id"]: (r["rid"], r["val"])
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    assert out[1] == (101, 2.0)   # inclusive: equal ts matches
+    assert out[2] == (102, 3.0)   # latest preceding
+    assert out[3] == (None, None)  # nothing precedes -> LEFT nulls
+    assert out[4] == (103, 4.0)   # keys isolated
+    assert out[5] == (None, None)  # key with no right rows
+    assert len(out) == 5  # exactly one output row per left row
+
+
+def test_asof_join_tiebreak_pins_winner(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("10:00:00"))], "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(100, 10, _ts("09:00:00")), (200, 10, _ts("09:00:00"))],
+        "rid long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = asof_join(left, right, on="user_id", tiebreak_col="rid").first()
+    assert got["rid"] == 200  # highest tiebreak wins deterministically
+
+
+def test_asof_join_rejects_payload_collision(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left.withColumn("rid", F.lit(0)), right, on="user_id")
