@@ -1,0 +1,70 @@
+"""Banded interval (range) join — the scale-safe form of a join Spark would
+otherwise plan as a broadcast-nested-loop.
+
+``banded_interval_join``: all (left, right) pairs sharing a key with
+``right_ts`` in ``[left_ts + lower, left_ts + upper]`` (inclusive). The
+naive formulation (equi on key AND a range predicate) degenerates to a
+nested-loop per key; this one bins time into windows of width
+``upper - lower``, so:
+
+- each RIGHT row lands in exactly one (key, bin);
+- each LEFT row's target range spans at most two adjacent bins, so the left
+  side explodes to <= 2 rows;
+- candidates come from a plain equi-join on (key, bin) — one uniform
+  shuffle — and the exact interval predicate filters the 2x overshoot.
+
+Cost: linear rows in |left| + |right| plus the true match count — never the
+|left| x |per-key right| blowup. Binning is on integral microseconds; a
+fixed session-timezone offset shifts both sides equally, so bin alignment
+and the interval predicate are offset-invariant.
+
+Semantics verified against a plain DuckDB inequality join by the
+``click_purchase_within_hour`` driver query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def banded_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_s: float = 0.0,
+    upper_s: float = 3600.0,
+) -> DataFrame:
+    """Pairs with ``right_ts - left_ts`` in ``[lower_s, upper_s]`` seconds,
+    per key. Columns of both inputs are preserved (caller pre-aliases
+    collisions); ts columns may be TIMESTAMP or TIMESTAMP_NTZ."""
+    if upper_s < lower_s:
+        raise ValueError("upper_s must be >= lower_s")
+    keys = [on] if isinstance(on, str) else list(on)
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+
+    w_us = max(int(round((upper_s - lower_s) * 1e6)), 1)
+    lo_us = int(round(lower_s * 1e6))
+    up_us = int(round(upper_s * 1e6))
+
+    def micros(col: str):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    r = right.withColumn("_bin", F.floor(micros(right_ts) / F.lit(w_us)))
+    l_us = micros(left_ts)
+    l = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor((l_us + F.lit(lo_us)) / F.lit(w_us)),
+                F.floor((l_us + F.lit(up_us)) / F.lit(w_us)),
+            )
+        ),
+    )
+    joined = l.join(r, keys + ["_bin"]).drop("_bin")
+    diff = micros(right_ts) - micros(left_ts)
+    return joined.filter((diff >= F.lit(lo_us)) & (diff <= F.lit(up_us)))

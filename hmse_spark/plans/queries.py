@@ -767,6 +767,39 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "click_purchase_within_hour",
+    """
+    SELECT c.event_id AS click_id,
+           CAST(c.user_id AS BIGINT) AS user_id,
+           p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def q_click_purchase_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via time-binned equi-join
+    (operators/rangejoin.py) — the scale-safe form of a join Spark would
+    otherwise plan as a per-key nested loop; oracled against DuckDB's plain
+    inequality join."""
+    from hmse_spark.operators.rangejoin import banded_interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    j = banded_interval_join(
+        clicks, purchases, on="user_id", left_ts="c_ts", right_ts="p_ts",
+        lower_s=0.0, upper_s=3600.0,
+    )
+    return j.select("click_id", "user_id", "purchase_id")
+
+
+@register(
     "doc_embedding_profile",
     """
     WITH q AS (

@@ -67,3 +67,67 @@ def test_asof_join_rejects_payload_collision(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="collide"):
         asof_join(left.withColumn("rid", F.lit(0)), right, on="user_id")
+
+
+# --- banded interval join ----------------------------------------------------
+
+
+def test_banded_interval_join_boundaries(spark):
+    from hmse_spark.operators.rangejoin import banded_interval_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00")], "lid long, user_id long, c_ts string"
+    ).withColumn("c_ts", F.to_timestamp("c_ts"))
+    right = spark.createDataFrame(
+        [
+            (100, 10, "2024-01-01 10:00:00.000000"),  # diff = 0 (inclusive)
+            (101, 10, "2024-01-01 11:00:00.000000"),  # diff = 3600s (inclusive)
+            (102, 10, "2024-01-01 11:00:00.000001"),  # 1 us over -> excluded
+            (103, 10, "2024-01-01 09:59:59.999999"),  # 1 us before -> excluded
+            (104, 20, "2024-01-01 10:30:00"),          # other key -> excluded
+        ],
+        "rid long, user_id long, p_ts string",
+    ).withColumn("p_ts", F.to_timestamp("p_ts"))
+    got = {
+        r["rid"]
+        for r in banded_interval_join(
+            left, right, on="user_id", left_ts="c_ts", right_ts="p_ts",
+            lower_s=0.0, upper_s=3600.0,
+        ).collect()
+    }
+    assert got == {100, 101}
+
+
+def test_banded_interval_join_matches_naive(spark):
+    """The binned equi-join must equal the naive theta join on random data."""
+    import numpy as np
+
+    from hmse_spark.operators.rangejoin import banded_interval_join
+
+    rng = np.random.default_rng(3)
+    base = 1_700_000_000
+    lrows = [(i, int(rng.integers(0, 5)), int(base + rng.integers(0, 86_400))) for i in range(80)]
+    rrows = [(1000 + i, int(rng.integers(0, 5)), int(base + rng.integers(0, 86_400))) for i in range(80)]
+    left = spark.createDataFrame(lrows, "lid long, k long, sec long").withColumn(
+        "c_ts", F.timestamp_seconds("sec")
+    ).drop("sec")
+    right = spark.createDataFrame(rrows, "rid long, k long, sec long").withColumn(
+        "p_ts", F.timestamp_seconds("sec")
+    ).drop("sec")
+    banded = {
+        (r["lid"], r["rid"])
+        for r in banded_interval_join(
+            left, right, on="k", left_ts="c_ts", right_ts="p_ts",
+            lower_s=0.0, upper_s=1800.0,
+        ).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.join(right, "k")
+        .filter(
+            (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .collect()
+    }
+    assert banded == naive and banded  # non-empty by construction odds
