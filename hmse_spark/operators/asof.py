@@ -56,6 +56,14 @@ def asof_join(
     combined = left.withColumn("_is_left", F.lit(True)).unionByName(
         right.withColumn("_is_left", F.lit(False)), allowMissingColumns=True
     )
+    # the payload travels as ONE struct (null on left rows, non-null on right
+    # rows even when its FIELDS are null): forward-filling per column would
+    # let a matched row's legitimate NULL field be backfilled from an older
+    # row, silently mixing fields across different right rows
+    combined = combined.withColumn(
+        "_payload",
+        F.when(~F.col("_is_left"), F.struct(*[F.col(c) for c in payload])),
+    )
     # right rows sort BEFORE left rows at equal ts => inclusive (<=) match;
     # among equal-ts right rows the tiebreak column pins the winner
     order = [F.col(ts_col).asc(), F.col("_is_left").cast("int").asc()]
@@ -66,6 +74,10 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    combined = combined.withColumn(
+        "_matched", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = combined.filter(F.col("_is_left"))
     for c in payload:
-        combined = combined.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return combined.filter(F.col("_is_left")).drop("_is_left")
+        out = out.withColumn(c, F.col(f"_matched.{c}"))
+    return out.drop("_is_left", "_payload", "_matched")

@@ -131,3 +131,17 @@ def test_banded_interval_join_matches_naive(spark):
         .collect()
     }
     assert banded == naive and banded  # non-empty by construction odds
+
+
+def test_asof_join_null_payload_stays_null(spark):
+    """A matched right row's legitimately-NULL field must come back NULL,
+    not be backfilled from an older right row (row-atomic payload)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("12:00:00"))], "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(100, 10, _ts("09:00:00"), 7.0), (101, 10, _ts("11:00:00"), None)],
+        "rid long, user_id long, ts string, val double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = asof_join(left, right, on="user_id").first()
+    assert got["rid"] == 101 and got["val"] is None
