@@ -219,6 +219,46 @@ def lang_id_oracle_sql(
     """
 
 
+# --- repeated word-n-gram mining --------------------------------------------
+
+
+def repeated_wordgrams(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word n-grams appearing in >= ``min_docs`` distinct documents, with
+    doc and occurrence counts — the repeated-sequence miner a curation
+    pipeline runs to find boilerplate / memorization-prone strings (the
+    word-level cousin of the byte-level anchor path).
+
+    Pure column expressions: split -> per-position slice+join (one array op
+    per doc, no Python) -> explode -> ONE groupBy on the gram string. At
+    corpus scale the groupBy key distribution is zipfian; the aggregate is
+    partial+final so hot grams combine map-side before the exchange."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, " "), lambda x: x != F.lit(""))
+    n_words = F.size(words)
+    grams = F.when(
+        n_words >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_words - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    return (
+        exploded.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 # --- document fingerprinting (rolling-hash winnowing) ----------------------
 
 

@@ -847,6 +847,36 @@ def q_doc_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.join(e, "doc_id").select("doc_id", "alpha_ratio", "emb_norm")
 
 
+@register(
+    "repeated_wordgram_mining",
+    """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), g AS (
+      -- generate_series as a SCALAR (list) + list_transform: the lateral
+      -- table-function form rejects column arguments
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(ws) - 4, 0)),
+               i -> array_to_string(ws[i:i+4], ' '))) AS gram
+      FROM w
+    )
+    SELECT gram,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 3
+    """,
+)
+def q_repeated_wordgram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated word-5-gram miner (functions/text.py::repeated_wordgrams):
+    boilerplate / memorization-prone sequences shared by >= 3 documents."""
+    from hmse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repeated_wordgrams(docs, n=5, min_docs=3)
+
+
 @register("ngram_containment_pairs", None)
 def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Superstring dedup: pairs where the smaller doc is >= 90% shingle-

@@ -249,3 +249,20 @@ def test_multimodal_resize_strict_raises(spark):
 def test_ivf_topk_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert similarity.ivf_topk(empty, k=3).count() == 0
+
+
+def test_repeated_wordgrams(spark):
+    shared = "the quick brown fox jumps"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} one two three"),
+            (2, f"{shared} beta gamma delta epsilon"),
+            (3, f"x y {shared} z w"),
+            (4, "completely different words here entirely"),
+            (5, "shorty"),  # < n words -> no grams, no crash
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["gram"]: (r["n_docs"], r["n_occurrences"]) for r in
+           T.repeated_wordgrams(df, n=5, min_docs=3).collect()}
+    assert out == {shared: (3, 3)}
