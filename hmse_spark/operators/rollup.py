@@ -1,0 +1,66 @@
+"""Cascading time rollup — the hypertable continuous-aggregate pattern.
+
+``cascading_time_rollup`` materializes one aggregate table per time
+granularity where each coarser level re-aggregates the PREVIOUS level, not
+the raw data: minute buckets from raw, hours from minutes, days from hours.
+At scale that is the whole point — the hourly job reads 60 minute-rows per
+key instead of re-scanning raw events, and each level is an independently
+checkpointable artifact (CheckpointManager-compatible DataFrames).
+
+Only re-aggregable measures are supported (count/sum/min/max — a mean is
+carried as sum+count and derived at read time); the algebraic invariant
+"cascade == direct aggregation from raw" is what the DuckDB oracle checks
+(``events_hourly_rollup`` computes hours-from-minutes in Spark against
+hours-from-raw in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# granularity -> date_trunc unit; ordered finest to coarsest
+_UNITS = ["minute", "hour", "day", "week", "month"]
+
+
+def cascading_time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    levels: tuple[str, ...] = ("minute", "hour", "day"),
+) -> dict[str, DataFrame]:
+    """Returns {level: DataFrame} with columns (bucket, *key_cols, n_events,
+    total_value, min_value, max_value); every level after the first is
+    computed FROM the previous level."""
+    order = [lv for lv in _UNITS if lv in levels]
+    if order != list(levels):
+        raise ValueError(f"levels must be finest-to-coarsest among {_UNITS}")
+    keys = key_cols or []
+
+    out: dict[str, DataFrame] = {}
+    prev: DataFrame | None = None
+    for lv in levels:
+        if prev is None:
+            cur = df.groupBy(
+                F.date_trunc(lv, F.col(ts_col)).alias("bucket"), *keys
+            ).agg(
+                F.count("*").alias("n_events"),
+                F.sum(value_col).alias("total_value"),
+                F.min(value_col).alias("min_value"),
+                F.max(value_col).alias("max_value"),
+            )
+        else:
+            # re-aggregate the previous level: counts and sums add, extrema
+            # re-extremize — never touches raw rows again
+            cur = prev.groupBy(
+                F.date_trunc(lv, F.col("bucket")).alias("bucket"), *keys
+            ).agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("total_value").alias("total_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        out[lv] = cur
+        prev = cur
+    return out

@@ -848,6 +848,41 @@ def q_doc_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total_value,
+           CAST(ROUND(MIN(value), 4) AS DOUBLE) AS min_value,
+           CAST(ROUND(MAX(value), 4) AS DOUBLE) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup (operators/rollup.py): the HOURLY
+    level is computed from MINUTE buckets, never from raw rows — while the
+    oracle aggregates hours directly from raw events, so the parity check
+    proves the re-aggregation algebra (cascade == direct) exactly."""
+    from hmse_spark.operators.rollup import cascading_time_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    levels = cascading_time_rollup(
+        events, ts_col="ts", key_cols=["event_type"], value_col="value",
+        levels=("minute", "hour"),
+    )
+    hour = levels["hour"]
+    return hour.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm").alias("bucket"),
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
+@register(
     "repeated_wordgram_mining",
     """
     WITH w AS (

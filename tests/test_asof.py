@@ -145,3 +145,48 @@ def test_asof_join_null_payload_stays_null(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     got = asof_join(left, right, on="user_id").first()
     assert got["rid"] == 101 and got["val"] is None
+
+
+# --- cascading time rollup ---------------------------------------------------
+
+
+def test_cascading_rollup_equals_direct(spark):
+    from hmse_spark.operators.rollup import cascading_time_rollup
+
+    import numpy as np
+    rng = np.random.default_rng(9)
+    rows = [
+        (int(1_700_000_000 + rng.integers(0, 3 * 86_400)), float(rng.normal()), "t%d" % (i % 2))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "sec long, value double, event_type string").withColumn(
+        "ts", F.timestamp_seconds("sec")
+    ).drop("sec")
+    levels = cascading_time_rollup(df, key_cols=["event_type"], levels=("minute", "hour", "day"))
+    # each cascaded level must equal direct aggregation from raw
+    for lv in ("hour", "day"):
+        direct = df.groupBy(F.date_trunc(lv, "ts").alias("bucket"), "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        cascaded = levels[lv].select(
+            "bucket", "event_type", "n_events",
+            F.round("total_value", 6).alias("total_value"),
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+        assert direct.exceptAll(cascaded).count() == 0
+        assert cascaded.exceptAll(direct).count() == 0
+    # totals conserved across every level
+    raw_n = df.count()
+    for lv, t in levels.items():
+        assert t.agg(F.sum("n_events")).first()[0] == raw_n
+
+
+def test_cascading_rollup_rejects_bad_order():
+    from hmse_spark.operators.rollup import cascading_time_rollup
+
+    with pytest.raises(ValueError, match="finest-to-coarsest"):
+        cascading_time_rollup(None, levels=("day", "minute"))
