@@ -27,6 +27,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            # a silent overwrite would drop a query from the driver surface
+            # with no test failing anywhere
+            raise ValueError(f"duplicate query registration: {name!r}")
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # host sessions (graft driver) don't --py-files us; ship the
             # package so pandas UDFs unpickle on executors
