@@ -94,3 +94,22 @@ def test_lang_id_stays_in_codegen(spark):
     # Spark 4 renders codegen'd operators with a '*(id)' prefix in the simple
     # plan string; the detector's Project must carry it
     assert "*(1) Project" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(set(entrymod.queries()) - _SKIP_PLAN_CHECK),
+)
+def test_query_output_is_run_deterministic(spark, name):
+    """Two executions of the same registered query must produce identical
+    canonicalized results — the driver hash-compares outputs across runs, so
+    any tie broken by partition order would flip the value hash."""
+
+    def canon(df):
+        pdf = df.toPandas()
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+    fn = entrymod.queries()[name]
+    a, b = canon(fn(spark, SF)), canon(fn(spark, SF))
+    assert a.equals(b), f"{name} is not run-deterministic"
