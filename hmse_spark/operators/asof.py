@@ -65,10 +65,13 @@ def asof_join(
         F.when(~F.col("_is_left"), F.struct(*[F.col(c) for c in payload])),
     )
     # right rows sort BEFORE left rows at equal ts => inclusive (<=) match;
-    # among equal-ts right rows the tiebreak column pins the winner
+    # among equal-ts right rows the tiebreak column pins the winner.
+    # tiebreak is a RIGHT-only column, so left rows carry NULL there —
+    # nulls must sort LAST or a left row would slot before equal-ts right
+    # rows and last() would skip them, breaking the inclusive semantics.
     order = [F.col(ts_col).asc(), F.col("_is_left").cast("int").asc()]
     if tiebreak_col is not None:
-        order.insert(1, F.col(tiebreak_col).asc_nulls_first())
+        order.insert(1, F.col(tiebreak_col).asc_nulls_last())
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)

@@ -32,7 +32,8 @@ def cascading_time_rollup(
 ) -> dict[str, DataFrame]:
     """Returns {level: DataFrame} with columns (bucket, *key_cols, n_events,
     total_value, min_value, max_value); every level after the first is
-    computed FROM the previous level."""
+    computed FROM the previous level, except 'month' after 'week', which is
+    computed from the finest day-or-finer level (weeks straddle months)."""
     order = [lv for lv in _UNITS if lv in levels]
     if order != list(levels):
         raise ValueError(f"levels must be finest-to-coarsest among {_UNITS}")
@@ -40,8 +41,22 @@ def cascading_time_rollup(
 
     out: dict[str, DataFrame] = {}
     prev: DataFrame | None = None
+    # 'month' must NOT be cascaded from 'week': ISO weeks cross month
+    # boundaries, so date_trunc('month', week_bucket) assigns a whole week to
+    # its Monday's month and the cascade==direct invariant breaks. Month is
+    # instead re-aggregated from the finest month-aligned level (<= day).
+    month_aligned: DataFrame | None = None
     for lv in levels:
-        if prev is None:
+        source = prev
+        if lv == "month" and prev is not None and "week" in out:
+            if month_aligned is None:
+                raise ValueError(
+                    "levels cascading 'month' from 'week' need a day-or-finer "
+                    "level too: weeks cross month boundaries, so month buckets "
+                    "cannot be re-aggregated from week buckets"
+                )
+            source = month_aligned
+        if source is None:
             cur = df.groupBy(
                 F.date_trunc(lv, F.col(ts_col)).alias("bucket"), *keys
             ).agg(
@@ -53,7 +68,7 @@ def cascading_time_rollup(
         else:
             # re-aggregate the previous level: counts and sums add, extrema
             # re-extremize — never touches raw rows again
-            cur = prev.groupBy(
+            cur = source.groupBy(
                 F.date_trunc(lv, F.col("bucket")).alias("bucket"), *keys
             ).agg(
                 F.sum("n_events").alias("n_events"),
@@ -63,4 +78,6 @@ def cascading_time_rollup(
             )
         out[lv] = cur
         prev = cur
+        if lv in ("minute", "hour", "day"):
+            month_aligned = cur
     return out

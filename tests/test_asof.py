@@ -63,6 +63,25 @@ def test_asof_join_tiebreak_pins_winner(spark):
     assert got["rid"] == 200  # highest tiebreak wins deterministically
 
 
+def test_asof_join_tiebreak_keeps_inclusive_semantics(spark):
+    # left/right TIMESTAMP tie with tiebreak_col set: the left row carries
+    # NULL in the right-only tiebreak column, which must sort AFTER the
+    # equal-ts right rows or the inclusive (<=) match silently regresses to
+    # an older right row (the r2 asc_nulls_first bug).
+    left = spark.createDataFrame(
+        [(1, 10, _ts("10:00:00"))], "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(100, 10, _ts("09:00:00")), (200, 10, _ts("10:00:00"))],
+        "rid long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = asof_join(left, right, on="user_id", tiebreak_col="rid").first()
+    assert got["rid"] == 200  # equal-ts right row matches, not the older one
+    # and with NO tiebreak the answer must agree
+    got2 = asof_join(left, right, on="user_id").first()
+    assert got2["rid"] == 200
+
+
 def test_asof_join_rejects_payload_collision(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="collide"):
@@ -190,3 +209,35 @@ def test_cascading_rollup_rejects_bad_order():
 
     with pytest.raises(ValueError, match="finest-to-coarsest"):
         cascading_time_rollup(None, levels=("day", "minute"))
+
+
+def test_cascading_rollup_month_not_from_week(spark):
+    """Weeks straddle month boundaries: a month level after a week level must
+    re-aggregate from the day-or-finer level, NOT from week buckets (the r2
+    bug put 2024-03-01 — a Friday whose ISO week starts 2024-02-26 — in
+    February). cascade==direct must hold across the boundary."""
+    from hmse_spark.operators.rollup import cascading_time_rollup
+
+    rows = [
+        ("2024-02-26 10:00:00", 1.0),  # Monday of the straddling week
+        ("2024-03-01 10:00:00", 2.0),  # Friday, same ISO week, in MARCH
+        ("2024-03-15 10:00:00", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    levels = cascading_time_rollup(df, levels=("day", "week", "month"))
+    direct = {
+        r["bucket"]: (r["n_events"], r["total_value"])
+        for r in df.groupBy(F.date_trunc("month", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    cascaded = {
+        r["bucket"]: (r["n_events"], r["total_value"])
+        for r in levels["month"].collect()
+    }
+    assert cascaded == direct  # March event must land in March
+    # a month level cascaded from week with no day-or-finer source is invalid
+    with pytest.raises(ValueError, match="week"):
+        cascading_time_rollup(df, levels=("week", "month"))
