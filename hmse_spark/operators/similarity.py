@@ -14,6 +14,18 @@ nearest neighbors over an embedding table.
   with a uniform-key equi-join, same skeleton as the MinHash band join.
 - **Embedding near-dup pairs**: all pairs with cosine >= threshold, via the
   same bucketing — the embedding-space analogue of MinHash dedup.
+
+Skew: every bucketed join here is capped (``max_bucket_size``), mirroring the
+text path's lsh.py machinery. A degenerate embedding distribution (all-zero
+vectors from a failed encoder, deduplicated boilerplate, one dominant IVF
+cell) makes a single bucket O(m^2) in an uncapped equi-join. Oversized
+buckets are SALTED into ceil(m/cap) groups (pairs generated within a group),
+not hub-starred: top-k queries need ~k candidates each, which a star would
+deny to non-hub members, while a salt group still hands every member
+cap-1 candidates. For the undirected near-dup variant, per-group minima are
+linked to the bucket minimum so a capped bucket stays one connected
+component. Elisions are never silent: ``embedding_bucket_report`` /
+``ivf_cell_report`` give strategy-exact kept/elided pair accounting.
 """
 
 from __future__ import annotations
@@ -122,6 +134,102 @@ def add_hyperplane_buckets(
     return embeddings.withColumn("buckets", bucket_of(F.col(vec_col)))
 
 
+def _annotate_bucket_sizes(flat: DataFrame) -> DataFrame:
+    """flat(uid, vec, bucket) + bucket_size via ONE window shuffle (same
+    single-exchange trick as lsh.annotate_bucket_sizes — a groupBy+join-back
+    would shuffle the table twice)."""
+    w = Window.partitionBy("bucket")
+    return flat.withColumn("bucket_size", F.count("*").over(w))
+
+
+def _with_salt(big: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Deterministic salt: ceil(m/cap) groups per oversized bucket, so each
+    group holds ~cap members and a group self-join is bounded."""
+    return big.withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64("uid"),
+            F.ceil(F.col("bucket_size") / F.lit(max_bucket_size)).cast("long"),
+        ),
+    )
+
+
+def _capped_bucket_pairs(
+    flat: DataFrame, max_bucket_size: int, directed: bool
+) -> DataFrame:
+    """Bucket self-join over flat(uid, vec, bucket) with per-bucket output
+    bounded: small buckets pair fully; oversized buckets pair within salt
+    groups (O(m*cap) instead of O(m^2)). Undirected mode adds group-min ->
+    bucket-min link pairs so a capped bucket stays one connected component
+    (the salted_candidate_pairs pattern from lsh.py, vectors carried via
+    min_by instead of a join-back). Returns (id_a, id_b, va, vb) — directed
+    keeps both orders, undirected keeps id_a < id_b."""
+    ann = _annotate_bucket_sizes(flat).filter(F.col("bucket_size") > 1)
+    pred = (
+        (F.col("id_a") != F.col("id_b"))
+        if directed
+        else (F.col("id_a") < F.col("id_b"))
+    )
+    cols = ["id_a", "id_b", "va", "vb"]
+
+    small = ann.filter(F.col("bucket_size") <= max_bucket_size)
+    a = small.select("bucket", F.col("uid").alias("id_a"), F.col("vec").alias("va"))
+    b = small.select("bucket", F.col("uid").alias("id_b"), F.col("vec").alias("vb"))
+    small_pairs = a.join(b, "bucket").filter(pred).select(*cols)
+
+    big = _with_salt(ann.filter(F.col("bucket_size") > max_bucket_size), max_bucket_size)
+    sa = big.select("bucket", "salt", F.col("uid").alias("id_a"), F.col("vec").alias("va"))
+    sb = big.select("bucket", "salt", F.col("uid").alias("id_b"), F.col("vec").alias("vb"))
+    big_pairs = sa.join(sb, ["bucket", "salt"]).filter(pred).select(*cols)
+
+    out = small_pairs.unionByName(big_pairs)
+    if not directed:
+        # bucket min is the global min over its groups, so bmin < gmin always
+        gmin = big.groupBy("bucket", "salt").agg(
+            F.min("uid").alias("id_b"), F.min_by("vec", "uid").alias("vb")
+        )
+        bmin = big.groupBy("bucket").agg(
+            F.min("uid").alias("id_a"), F.min_by("vec", "uid").alias("va")
+        )
+        links = (
+            gmin.join(bmin, "bucket")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(*cols)
+        )
+        out = out.unionByName(links)
+    return out
+
+
+def embedding_bucket_report(
+    flat: DataFrame, max_bucket_size: int, directed: bool
+) -> DataFrame:
+    """Oversized-bucket accounting for the embedding joins — 'no silent
+    caps', mirroring lsh.capped_bucket_report. kept is computed from the
+    ACTUAL salt assignment (same xxhash64 formula as _capped_bucket_pairs),
+    elided = total - kept; directed counts ordered pairs."""
+    ann = _annotate_bucket_sizes(flat)
+    big = _with_salt(ann.filter(F.col("bucket_size") > max_bucket_size), max_bucket_size)
+    half = F.lit(1) if directed else F.lit(2)
+    per_group = big.groupBy("bucket", "salt").agg(
+        F.count("*").alias("g"), F.max("bucket_size").alias("bucket_size")
+    )
+    report = per_group.groupBy("bucket").agg(
+        F.max("bucket_size").alias("bucket_size"),
+        F.sum((F.col("g") * (F.col("g") - 1)).cast("long")).alias("kept2"),
+        F.count("*").alias("n_groups"),
+    )
+    kept = (F.col("kept2") / half).cast("long")
+    if not directed:
+        kept = kept + F.col("n_groups") - 1  # the connectivity link edges
+    total = (F.col("bucket_size") * (F.col("bucket_size") - 1) / half).cast("long")
+    return (
+        report.withColumn("pairs_kept", kept)
+        .withColumn("pairs_elided", total - F.col("pairs_kept"))
+        .withColumn("strategy", F.lit("salt"))
+        .select("bucket", "bucket_size", "pairs_kept", "pairs_elided", "strategy")
+    )
+
+
 def ann_topk(
     embeddings: DataFrame,
     dim: int | None = None,
@@ -131,21 +239,23 @@ def ann_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one hyperplane bucket.
     Same output shape as brute_force_topk (missing true neighbors possible —
-    that's the accuracy/cost trade the recall test quantifies)."""
+    that's the accuracy/cost trade the recall test quantifies). Buckets over
+    ``max_bucket_size`` are salted, not expanded quadratically: each query in
+    an oversized bucket sees ~cap-1 same-group candidates (>= k as long as
+    cap > k), bounding a degenerate bucket to O(m*cap) pairs."""
     with_buckets = add_hyperplane_buckets(embeddings, dim, n_planes, n_bands, seed, vec_col)
     flat = with_buckets.select(
         F.col(id_col).alias("uid"), F.col(vec_col).alias("vec"),
         F.explode("buckets").alias("bucket"),
     )
-    a = flat.select(F.col("uid").alias("vec_id"), F.col("vec").alias("va"), "bucket")
-    b = flat.select(F.col("uid").alias("neighbor_id"), F.col("vec").alias("vb"), "bucket")
     cand = (
-        a.join(b, "bucket")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id", "va", "vb")
+        _capped_bucket_pairs(flat, max_bucket_size, directed=True)
+        .withColumnRenamed("id_a", "vec_id")
+        .withColumnRenamed("id_b", "neighbor_id")
         .dropDuplicates(["vec_id", "neighbor_id"])
         .withColumn("cos_sim", F.round(_cos_col("va", "vb"), 6))
         .drop("va", "vb")
@@ -203,6 +313,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    max_cell_size: int = 4096,
 ) -> DataFrame:
     """IVF approximate top-k — the second scale path next to hyperplane LSH.
 
@@ -213,7 +324,12 @@ def ivf_topk(
     corpus_size/n_cells on balanced data; n_cells scales with corpus size
     (sqrt(n) rule) on a real deployment. Centroids are fit once (tiny,
     deterministic) and closed over into the assignment UDF — the same
-    broadcast-a-small-model shape as the LSH plane matrix."""
+    broadcast-a-small-model shape as the LSH plane matrix.
+
+    ``max_cell_size`` caps the dominant-cell regime (every vector identical
+    -> one cell holds the whole corpus): oversized cells are salted so each
+    query compares against ~cap index entries, never the full cell;
+    ``ivf_cell_report`` accounts for what a cap elided."""
     if centroids is None:
         centroids = fit_ivf_centroids(
             embeddings, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
@@ -260,8 +376,35 @@ def ivf_topk(
         F.col("uid").alias("vec_id"), F.col("vec").alias("va"),
         F.explode("cells").alias("cell"),
     )
+    # Cap the dominant-cell blowup: there are at most n_cells cells, so the
+    # occupancy table is tiny — broadcast it to both sides. Oversized cells
+    # are salted on the INDEX side (ceil(m/cap) groups); each query draws ONE
+    # deterministic group, so it scans ~cap index entries instead of m.
+    cell_sizes = index_side.groupBy("cell").agg(F.count("*").alias("cell_size"))
+    n_groups = F.ceil(F.col("cell_size") / F.lit(max_cell_size)).cast("long")
+    index_ann = index_side.join(F.broadcast(cell_sizes), "cell").withColumn(
+        "salt", F.pmod(F.xxhash64("neighbor_id"), n_groups)
+    )
+    query_ann = query_side.join(F.broadcast(cell_sizes), "cell").withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), n_groups)
+    )
+    small_q = query_ann.filter(F.col("cell_size") <= max_cell_size)
+    small_i = index_ann.filter(F.col("cell_size") <= max_cell_size)
+    big_q = query_ann.filter(F.col("cell_size") > max_cell_size)
+    big_i = index_ann.filter(F.col("cell_size") > max_cell_size)
+    out_cols = ["vec_id", "neighbor_id", "va", "vb"]
+    matched = (
+        small_q.drop("cell_size", "salt")
+        .join(small_i.drop("cell_size", "salt"), "cell")
+        .select(*out_cols)
+        .unionByName(
+            big_q.drop("cell_size")
+            .join(big_i.drop("cell_size"), ["cell", "salt"])
+            .select(*out_cols)
+        )
+    )
     cand = (
-        query_side.join(index_side, "cell")
+        matched
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id", "va", "vb")
         .dropDuplicates(["vec_id", "neighbor_id"])
@@ -285,21 +428,104 @@ def embedding_near_dup_pairs(
     n_planes: int = 12,
     n_bands: int = 6,
     seed: int = 42,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold via bucketed search
-    (more bands + shorter keys than top-k: high recall at high thresholds)."""
+    (more bands + shorter keys than top-k: high recall at high thresholds).
+    Oversized buckets are salted with group-min -> bucket-min links, so a
+    degenerate bucket (m identical vectors) yields O(m*cap) pairs but stays
+    one connected component for downstream clustering — the embedding
+    analogue of lsh.salted_candidate_pairs."""
     with_buckets = add_hyperplane_buckets(embeddings, dim, n_planes, n_bands, seed, vec_col)
     flat = with_buckets.select(
         F.col(id_col).alias("uid"), F.col(vec_col).alias("vec"),
         F.explode("buckets").alias("bucket"),
     )
-    a = flat.select(F.col("uid").alias("id_a"), F.col("vec").alias("va"), "bucket")
-    b = flat.select(F.col("uid").alias("id_b"), F.col("vec").alias("vb"), "bucket")
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        _capped_bucket_pairs(flat, max_bucket_size, directed=False)
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("cos_sim", F.round(_cos_col("va", "vb"), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def hyperplane_bucket_flat(
+    embeddings: DataFrame,
+    dim: int | None = None,
+    n_planes: int = 12,
+    n_bands: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The exploded (uid, vec, bucket) table the capped joins operate on —
+    exposed so callers can feed ``embedding_bucket_report`` with the exact
+    bucketing a search used."""
+    with_buckets = add_hyperplane_buckets(embeddings, dim, n_planes, n_bands, seed, vec_col)
+    return with_buckets.select(
+        F.col(id_col).alias("uid"), F.col(vec_col).alias("vec"),
+        F.explode("buckets").alias("bucket"),
+    )
+
+
+def ivf_cell_report(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    max_cell_size: int = 4096,
+) -> DataFrame:
+    """Per-oversized-cell accounting for ivf_topk's salted cell join:
+    (cell, cell_size, n_groups, comparisons_kept, comparisons_elided).
+    Counts index-side comparisons per primary-cell query (the dominant-cell
+    regime the cap exists for): uncapped, every one of m cell members scans
+    m-1 others; capped, each scans ~its salt group."""
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            embeddings, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    if centroids.size == 0:
+        schema = "cell int, cell_size long, n_groups long, comparisons_kept long, comparisons_elided long"
+        return embeddings.sparkSession.createDataFrame([], schema)
+    cent = centroids
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def primary_cell(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        return pd.Series((mat @ cent.T).argmax(axis=1).astype(np.int32))
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("uid"), primary_cell(F.col(vec_col)).alias("cell")
+    )
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("cell_size"))
+    big = assigned.join(F.broadcast(sizes), "cell").filter(
+        F.col("cell_size") > max_cell_size
+    )
+    ng = F.ceil(F.col("cell_size") / F.lit(max_cell_size)).cast("long")
+    per_group = (
+        big.withColumn("salt", F.pmod(F.xxhash64("uid"), ng))
+        .groupBy("cell", "salt")
+        .agg(F.count("*").alias("g"), F.max("cell_size").alias("cell_size"))
+    )
+    return (
+        per_group.groupBy("cell")
+        .agg(
+            F.max("cell_size").alias("cell_size"),
+            F.count("*").alias("n_groups"),
+            F.sum((F.col("g") * (F.col("g") - 1)).cast("long")).alias("comparisons_kept"),
+        )
+        .withColumn(
+            "comparisons_elided",
+            (F.col("cell_size") * (F.col("cell_size") - 1)).cast("long")
+            - F.col("comparisons_kept"),
+        )
+        .select("cell", "cell_size", "n_groups", "comparisons_kept", "comparisons_elided")
     )

@@ -171,6 +171,116 @@ def test_embedding_near_dup_pairs(spark):
     assert len(expect & got) / len(expect) >= 0.9
 
 
+# --- embedding skew caps (degenerate-bucket protection) ----------------------
+
+
+def _components(pairs, ids):
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    return len({find(i) for i in ids})
+
+
+def test_capped_bucket_pairs_bounds_degenerate_bucket(spark):
+    """One 300-member bucket (e.g. all-zero embeddings from a failed encoder)
+    must NOT expand to 300*299 join rows: salted groups bound it to ~m*cap
+    while every member still gets candidates (directed) / one component
+    (undirected with links)."""
+    m, cap = 300, 40
+    vec = [1.0, 0.0]
+    flat = spark.createDataFrame(
+        [(i, vec, 7) for i in range(m)], "uid long, vec array<double>, bucket long"
+    )
+    directed = similarity._capped_bucket_pairs(flat, cap, directed=True)
+    n = directed.count()
+    assert 0 < n <= m * 2 * cap  # group sizes ~cap, ordered pairs
+    assert n < m * (m - 1) / 4   # far below the quadratic blowup
+    per_query = directed.groupBy("id_a").count().agg(F.min("count")).first()[0]
+    assert per_query >= 5  # every member still has candidates for top-k
+
+    undirected = similarity._capped_bucket_pairs(flat, cap, directed=False)
+    got = [(r["id_a"], r["id_b"]) for r in undirected.collect()]
+    assert len(got) <= m * cap
+    assert _components(got, list(range(m))) == 1  # links keep the bucket whole
+
+
+def test_embedding_bucket_report_accounting(spark):
+    """'No silent caps': kept + elided == C(m,2) and kept equals the ACTUAL
+    pair count the salted join generates."""
+    m, cap = 123, 25
+    flat = spark.createDataFrame(
+        [(i, [1.0, 0.0], 7) for i in range(m)], "uid long, vec array<double>, bucket long"
+    )
+    rep = similarity.embedding_bucket_report(flat, cap, directed=False).first()
+    assert rep["bucket_size"] == m
+    assert rep["pairs_kept"] + rep["pairs_elided"] == m * (m - 1) // 2
+    actual = similarity._capped_bucket_pairs(flat, cap, directed=False).count()
+    assert rep["pairs_kept"] == actual
+    # small buckets never appear in the report
+    small = spark.createDataFrame(
+        [(i, [1.0, 0.0], 9) for i in range(cap)], "uid long, vec array<double>, bucket long"
+    )
+    assert similarity.embedding_bucket_report(small, cap, directed=False).count() == 0
+
+
+def test_ann_topk_degenerate_corpus_capped(spark):
+    """All-identical embeddings: every hyperplane bucket is the whole corpus.
+    With the cap each vector still gets k cos=1.0 neighbors."""
+    m, k = 200, 3
+    df = spark.createDataFrame(
+        [(i, [0.5, -0.25, 1.0, 0.0]) for i in range(m)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.ann_topk(df, dim=4, k=k, n_planes=4, n_bands=2, max_bucket_size=20)
+    rows = out.collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], []).append(r["cos_sim"])
+    assert len(by_vec) == m
+    assert all(len(v) == k and set(v) == {1.0} for v in by_vec.values())
+
+
+def test_embedding_near_dups_degenerate_corpus_one_component(spark):
+    m = 200
+    df = spark.createDataFrame(
+        [(i, [0.5, -0.25, 1.0, 0.0]) for i in range(m)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = similarity.embedding_near_dup_pairs(
+        df, dim=4, threshold=0.99, n_planes=4, n_bands=2, max_bucket_size=20
+    )
+    got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert len(got) <= m * 20 * 2
+    assert _components(got, list(range(m))) == 1
+
+
+def test_ivf_topk_dominant_cell_capped(spark):
+    """All-identical embeddings collapse into ONE IVF cell; the salted cell
+    join must still return k exact neighbors per query without the m^2 scan,
+    and the cell report must account for the elision."""
+    m, k, cap = 200, 3, 20
+    df = spark.createDataFrame(
+        [(i, [0.5, -0.25, 1.0, 0.0]) for i in range(m)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.ivf_topk(df, k=k, n_cells=4, n_probe=2, max_cell_size=cap)
+    by_vec = {}
+    for r in out.collect():
+        by_vec.setdefault(r["vec_id"], []).append(r["cos_sim"])
+    assert len(by_vec) == m
+    assert all(len(v) == k and set(v) == {1.0} for v in by_vec.values())
+    rep = similarity.ivf_cell_report(df, n_cells=4, max_cell_size=cap).collect()
+    assert len(rep) == 1 and rep[0]["cell_size"] == m
+    assert rep[0]["comparisons_kept"] + rep[0]["comparisons_elided"] == m * (m - 1)
+
+
 # --- multimodal plumbing ----------------------------------------------------
 
 
