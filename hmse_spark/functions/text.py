@@ -61,7 +61,10 @@ _BPE_ISH = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]|\s+"
 
 def bpeish_token_count_udf():
     """GPT-2-style pre-tokenizer regex count (approximate BPE token cost).
-    Regex engines differ across DuckDB/Spark, so this is a rows-only op."""
+    Oracle-checkable: the pattern uses only ASCII classes, where Python re
+    and DuckDB RE2 agree (the DuckDB oracle drops the \\s+ alternative
+    rather than filtering whitespace matches — same count, see
+    q_bpeish_token_counts)."""
     import re
 
     from pyspark.sql.functions import pandas_udf

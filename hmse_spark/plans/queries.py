@@ -505,8 +505,21 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.fingerprint_udf()(F.col("text")).alias("fingerprint"))
 
 
-@register("bpeish_token_counts", None)
+@register(
+    "bpeish_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_bpeish_tokens
+    FROM documents
+    """,
+)
 def q_bpeish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer token cost per doc. The oracle drops the
+    UDF's ``\\s+`` alternative instead of filtering whitespace matches —
+    equivalent, because no other alternative can match a whitespace char, so
+    the scanner skips the same spans either way; the remaining ASCII classes
+    mean Python re and DuckDB RE2 agree (verified over the full corpus)."""
     from hmse_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents")
@@ -667,10 +680,40 @@ def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ngram_jaccard_pairs", None)
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH reps AS (
+      -- canonical representatives: min(doc_id) per distinct text (exact-dup
+      -- pairs become dup_edges in the pipeline, never verified pairs)
+      SELECT min(doc_id) AS id, text FROM documents GROUP BY text
+    ), sh AS (
+      -- the engine's 4-byte shingle SET; corpus is ASCII, so char 4-grams
+      -- equal byte shingles
+      SELECT id,
+             list_distinct(list_transform(range(1, length(text) - 2),
+                                          i -> substr(text, CAST(i AS INT), 4))) AS s
+      FROM reps WHERE length(text) >= 4
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+                AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85
+    """,
+)
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 4-gram-Jaccard verified near-dup pairs over documents (the
-    n-gram-Jaccard dedup method as a standalone query)."""
+    n-gram-Jaccard dedup method as a standalone query).
+
+    The oracle computes ALL rep pairs with true char-4-gram Jaccard >= 0.85
+    brute-force — so the match certifies CANDIDATE RECALL = 1 on this corpus
+    (every qualifying pair survived banding + pre-prune), not just agreement
+    on the Jaccard arithmetic; both sides threshold the unrounded value. The
+    testdata's qualifying pairs sit at J >= 0.92, comfortably inside the
+    multi-variant candidate net (minhash bands + anchors + exact SA)."""
     from hmse_spark.plans.pipeline import run_near_dup_pipeline
     from hmse_spark.sources.tables import documents_as_corpus
 
