@@ -79,7 +79,21 @@ def build_chunk_store(
     )
 
     # unique chunk bytes: join canonical locations back to file content and
-    # slice — shuffles 40-byte metadata + one content copy per UNIQUE chunk
+    # slice ENTIRELY JVM-SIDE (binary substring inside whole-stage codegen).
+    # Shuffle volume: 40-byte metadata per unique chunk + one content copy
+    # per FILE. The join output nominally has one content-bearing row per
+    # unique chunk, but codegen streams those rows straight into the slice
+    # projection — the content cell is a reference, never serialized per
+    # chunk. (A pandas-UDF slice here WOULD amplify: every Arrow batch ships
+    # full content once per chunk row, ~chunks-per-file x the file bytes.)
+    from pyspark.sql.types import BinaryType
+
+    is_bin = isinstance(files.schema[content_col].dataType, BinaryType)
+    cbin = (
+        F.coalesce(F.col(content_col), F.lit(b""))
+        if is_bin
+        else F.encode(F.coalesce(F.col(content_col), F.lit("")), "UTF-8")
+    )
     uniq = (
         chunk_index.select(
             "chunk_sha",
@@ -87,10 +101,10 @@ def build_chunk_store(
             F.col("canonical.offset").alias("offset"),
             F.col("canonical.length").alias("length"),
         )
-        .join(files.select(id_col, content_col), id_col)
+        .join(files.select(id_col, cbin.alias("_cbin")), id_col)
         .withColumn(
             "chunk_bytes",
-            fastcdc.slice_chunk_bytes_udf()(F.col(content_col), F.col("offset"), F.col("length")),
+            F.expr("substring(_cbin, offset + 1, length)"),
         )
         .select("chunk_sha", "chunk_bytes")
         # stable numeric uid for CC: canonical position is unique per sha
