@@ -51,6 +51,9 @@ class PipelineConfig:
     # Similarity / delta (README.md:373-377, 1328, 2174-2175)
     jaccard_threshold: float = 0.85   # high-confidence regime s >= 0.85
     delta_max_fraction: float = 0.20  # keep delta only if <= 20% of original
+    delta_codec: str = "zdict"        # delta.CODECS key; write AND read paths
+                                      # must share it (dedup-ratio fixture is
+                                      # calibrated to the default)
     # Optional estimator pre-prune before exact verification: drop candidate
     # pairs whose est-Jaccard (128-sample signature agreement) is below
     # threshold - slack, BEFORE joining content back. Exact verification
@@ -68,6 +71,9 @@ class PipelineConfig:
     # Suffix-array substring variant (Lee et al., ACL 2022)
     substr_min_len: int = 50          # minimum shared-substring length (bytes)
     substr_min_anchors: int = 2       # anchor-fingerprint candidacy floor
+    substr_anchor_bits: int = 8       # anchor density 2^-bits per byte
+                                      # (~1/256); lower = denser anchors for
+                                      # short-doc containment hunting
     substr_partition_bytes: int = 64 << 20  # hard per-partition byte bound
 
     # Skew handling for the band self-join (README.md:1929-1933 hot-bucket model)
@@ -84,6 +90,18 @@ class PipelineConfig:
     corpus_seed: int = 42
 
     def __post_init__(self) -> None:
+        try:
+            # deferred + guarded: delta.py imports this module at its top, so
+            # when delta itself triggers the first config import, CODECS is
+            # not bound yet — encode/decode dispatch still validates by
+            # KeyError in that (module-init-only) window
+            from hmse_spark.operators.delta import CODECS
+        except ImportError:
+            CODECS = None
+        if CODECS is not None and self.delta_codec not in CODECS:
+            raise ValueError(
+                f"delta_codec {self.delta_codec!r} not in {sorted(CODECS)}"
+            )
         if self.verify_prune_slack is not None and self.verify_prune_slack < 0:
             # a negative slack would prune ABOVE the accept threshold and
             # silently drop true-positive pairs before exact verification

@@ -19,6 +19,19 @@ The naive alternative (theta join on key AND ts-range, then max-per-left-row)
 explodes to |left| x |matching right| intermediate rows; this never
 materializes more than one row per input row.
 
+Hot-key caveat (shared with every partitionBy window, incl. sessionization):
+one window partition = one task, so a pathological key (a single user with
+10^8 events) serializes into one executor thread and AQE cannot split it (the
+running forward-fill is order-dependent state). The range-partitioned
+fallback for such keys: bucket each hot key's rows by time range
+(``date_trunc`` month/day), run the same union+window per (key, bucket), then
+fix up each bucket's leading unmatched left rows by as-of joining them
+against the per-(key, bucket) LAST right payload of all PRECEDING buckets —
+a second, tiny window over per-bucket summaries (one row per key x bucket).
+Cost: 2 exchanges instead of 1, parallelism |key x bucket|. Not wired in
+here because the testdata and driver queries have bounded key cardinality;
+see test_asof_join_hot_key_correctness for the skew-shape guard.
+
 Semantics are verified against DuckDB's native ASOF LEFT JOIN by the
 ``asof_last_purchase`` driver query (plans/queries.py).
 """

@@ -6,13 +6,23 @@ only if it is <= 20% of the original size; otherwise store the full chunk.
 Full chunks are DEFLATE-compressed (L1, README.md:288).
 
 Tooling deviation (documented): the reference names xdelta3 (and bsdiff in
-its own example, README.md:1402); neither ships in this environment. The
-delta codec here is zlib dictionary compression — ``zlib.compressobj(level=9,
-zdict=base)`` — which is DEFLATE with the base chunk as preset dictionary:
-deterministic, stdlib-only, round-trippable with ``decompressobj(zdict=
-base)``, and near-optimal for <= 16 KiB chunks (zlib's 32 KiB window covers
-the whole base). Only delta *size* feeds the dedup-ratio metric, so codec
-choice does not affect pair/cluster semantics.
+its own example, README.md:1402); neither ships in this environment (no
+xdelta3/bsdiff4/detools modules). The DEFAULT delta codec is zlib dictionary
+compression — ``zlib.compressobj(level=9, zdict=base)`` — which is DEFLATE
+with the base chunk as preset dictionary: deterministic, stdlib-only,
+round-trippable with ``decompressobj(zdict=base)``, and near-optimal for
+<= 16 KiB chunks (zlib's 32 KiB window covers the whole base). Only delta
+*size* feeds the dedup-ratio metric, so codec choice does not affect
+pair/cluster semantics.
+
+The codec is a SEAM (``cfg.delta_codec``, dispatched through ``CODECS``): a
+second, xdelta-family pure-Python codec ("blockcopy": rsync-style block-hash
+COPY/LITERAL ops + DEFLATE of the op stream) ships behind the same
+``delta_encode/decode`` signature, proving a real xdelta3 can drop in when
+the container gains one — register it in ``CODECS``, set ``cfg.delta_codec``,
+and re-pin the dedup-ratio fixture (calibrated to the DEFAULT codec only).
+Write and read paths must share ``cfg`` — the same contract as the chunking
+parameters.
 
 The reference's 1 MB LZ77 window (README.md:1165-1167) is not reachable with
 stock zlib (32 KiB max); irrelevant here for the same reason — chunks are
@@ -43,14 +53,91 @@ def inflate(data: bytes) -> bytes:
     return zlib.decompress(data)
 
 
-def delta_encode(base: bytes, target: bytes, level: int = 9) -> bytes:
+def _zdict_encode(base: bytes, target: bytes, level: int = 9) -> bytes:
     co = zlib.compressobj(level=level, zdict=base)
     return co.compress(target) + co.flush()
 
 
-def delta_decode(base: bytes, delta: bytes) -> bytes:
+def _zdict_decode(base: bytes, delta: bytes) -> bytes:
     do = zlib.decompressobj(zdict=base)
     return do.decompress(delta) + do.flush()
+
+
+_BLOCK = 16  # block-hash granularity of the blockcopy codec
+
+
+def _blockcopy_encode(base: bytes, target: bytes, level: int = 9) -> bytes:
+    """xdelta-family COPY/LITERAL encoder: index base in _BLOCK-byte blocks,
+    greedily scan target, extend matches forward; the op stream (C <off><len>
+    / L <len><bytes>) is DEFLATEd so literal runs still compress. Pure
+    Python, linear-time, deterministic."""
+    idx: dict[bytes, int] = {}
+    for i in range(0, len(base) - _BLOCK + 1, _BLOCK):
+        idx.setdefault(base[i : i + _BLOCK], i)
+    ops = bytearray()
+    lit = bytearray()
+
+    def flush_lit() -> None:
+        if lit:
+            ops.extend(b"L")
+            ops.extend(len(lit).to_bytes(4, "little"))
+            ops.extend(lit)
+            lit.clear()
+
+    i, n = 0, len(target)
+    while i < n:
+        j = idx.get(target[i : i + _BLOCK]) if i + _BLOCK <= n else None
+        if j is None:
+            lit.append(target[i])
+            i += 1
+            continue
+        li, lj = i + _BLOCK, j + _BLOCK
+        while li < n and lj < len(base) and target[li] == base[lj]:
+            li += 1
+            lj += 1
+        flush_lit()
+        ops.extend(b"C")
+        ops.extend(j.to_bytes(4, "little"))
+        ops.extend((li - i).to_bytes(4, "little"))
+        i = li
+    flush_lit()
+    return zlib.compress(bytes(ops), level)
+
+
+def _blockcopy_decode(base: bytes, delta: bytes) -> bytes:
+    ops = zlib.decompress(delta)
+    out = bytearray()
+    i, n = 0, len(ops)
+    while i < n:
+        tag = ops[i : i + 1]
+        if tag == b"C":
+            off = int.from_bytes(ops[i + 1 : i + 5], "little")
+            ln = int.from_bytes(ops[i + 5 : i + 9], "little")
+            out.extend(base[off : off + ln])
+            i += 9
+        elif tag == b"L":
+            ln = int.from_bytes(ops[i + 1 : i + 5], "little")
+            out.extend(ops[i + 5 : i + 5 + ln])
+            i += 5 + ln
+        else:
+            raise ValueError(f"corrupt blockcopy delta: op {tag!r} at {i}")
+    return bytes(out)
+
+
+# codec seam: name -> (encode, decode); both sides of the store dispatch on
+# cfg.delta_codec, so an xdelta3 binding can drop in by registering here
+CODECS: dict[str, tuple] = {
+    "zdict": (_zdict_encode, _zdict_decode),
+    "blockcopy": (_blockcopy_encode, _blockcopy_decode),
+}
+
+
+def delta_encode(base: bytes, target: bytes, level: int = 9, codec: str = "zdict") -> bytes:
+    return CODECS[codec][0](base, target, level)
+
+
+def delta_decode(base: bytes, delta: bytes, codec: str = "zdict") -> bytes:
+    return CODECS[codec][1](base, delta)
 
 
 RECORDS_SCHEMA = (
@@ -74,6 +161,7 @@ def encode_clusters(
     per-group Python is bounded; the hub-cap upstream bounds cluster size.
     """
     frac = cfg.delta_max_fraction
+    codec = cfg.delta_codec
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("chunk_uid").drop_duplicates("chunk_sha")
@@ -91,7 +179,7 @@ def encode_clusters(
         ]
         for _, row in pdf.iloc[1:].iterrows():
             tgt = bytes(row["chunk_bytes"])
-            d = delta_encode(base_bytes, tgt)
+            d = delta_encode(base_bytes, tgt, codec=codec)
             if len(d) <= frac * len(tgt):
                 out.append(
                     {

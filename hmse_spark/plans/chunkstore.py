@@ -231,9 +231,13 @@ def reconstruct_and_verify(
     store: ChunkStoreResult,
     id_col: str = "file_id",
     content_col: str = "content",
+    cfg: PipelineConfig = DEFAULT,
 ) -> DataFrame:
     """Read path: rebuild every file from the store; returns per-file
-    (file_id, ok boolean) where ok = sha256 match with the original."""
+    (file_id, ok boolean) where ok = sha256 match with the original.
+    ``cfg`` must match the one the store was written with (delta codec,
+    like the chunking parameters, is part of the store's format)."""
+    codec = cfg.delta_codec
     # resolve every chunk occurrence to raw bytes: full -> inflate(payload),
     # delta -> delta_decode(inflate(base payload), payload)
     base_payloads = store.records.filter(F.col("kind") == delta_op.KIND_FULL).select(
@@ -249,7 +253,7 @@ def reconstruct_and_verify(
                 out.append(delta_op.inflate(bytes(p)))
             else:
                 base = delta_op.inflate(bytes(bp))
-                out.append(delta_op.delta_decode(base, bytes(p)))
+                out.append(delta_op.delta_decode(base, bytes(p), codec=codec))
         return pd.Series(out)
 
     chunk_bytes = resolved.select(

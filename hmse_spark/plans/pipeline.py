@@ -251,11 +251,25 @@ def _metrics_row(
     """Stage metrics (VALIDATION_METHODS.md:253-264 analogues): unique ratio,
     LSH hit rate (verified/candidates), cluster stats, and the no-silent-caps
     accounting (buckets hub-capped + pairs elided)."""
-    n_files = files_meta.count()
-    n_unique = index.count()
-    n_cand = candidates.count()
-    n_ver = verified.count()
-    n_clusters = clusters.select("cluster_id").distinct().count()
+    # ONE counting job instead of five: tag a 1-column projection of each
+    # (persisted) stage frame and group-count the union — every input is
+    # already cached, so this reads the caches once and runs a single
+    # map-side-combined aggregate
+    tagged = (
+        files_meta.select(F.lit("files").alias("k"))
+        .unionByName(index.select(F.lit("unique").alias("k")))
+        .unionByName(candidates.select(F.lit("cand").alias("k")))
+        .unionByName(verified.select(F.lit("ver").alias("k")))
+        .unionByName(
+            clusters.select("cluster_id").distinct().select(F.lit("clusters").alias("k"))
+        )
+    )
+    counts = {r["k"]: r["count"] for r in tagged.groupBy("k").count().collect()}
+    n_files = counts.get("files", 0)
+    n_unique = counts.get("unique", 0)
+    n_cand = counts.get("cand", 0)
+    n_ver = counts.get("ver", 0)
+    n_clusters = counts.get("clusters", 0)
     n_capped, elided = 0, 0
     if capped is not None:
         row = capped.agg(

@@ -82,6 +82,46 @@ def test_asof_join_tiebreak_keeps_inclusive_semantics(spark):
     assert got2["rid"] == 200
 
 
+def test_asof_join_hot_key_correctness(spark):
+    """Skew-shape guard: one key holds 20k of 20.5k rows (the single-task-
+    per-key window regime documented in the module docstring). Semantics
+    must be unaffected: every left row matches the latest right row at or
+    before its timestamp."""
+    n = 20_000
+    left = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.lit(1).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 2).alias("ts"),
+    )
+    # right rows at every 100th tick: left event_id=k matches rid=(k*2)//100...
+    # keep it exact: right ts = base + rid*100, rid in [0, 400)
+    right = spark.range(400).select(
+        F.col("id").alias("rid"),
+        F.lit(1).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 100).alias("ts"),
+    )
+    # plus a cold key to prove isolation
+    left = left.unionByName(
+        spark.range(500).select(
+            (F.col("id") + 10_000_000).alias("event_id"),
+            F.lit(2).alias("user_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 2).alias("ts"),
+        )
+    )
+    out = asof_join(left, right, on="user_id")
+    # exact expectation, computed in one aggregate: rid = floor(2k / 100)
+    bad = out.filter(
+        (F.col("user_id") == 1)
+        & (
+            F.col("rid")
+            != F.floor((F.col("event_id") * 2) / 100).cast("long")
+        )
+    ).count()
+    assert bad == 0
+    assert out.filter((F.col("user_id") == 2) & F.col("rid").isNotNull()).count() == 0
+    assert out.count() == n + 500
+
+
 def test_asof_join_rejects_payload_collision(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="collide"):

@@ -122,3 +122,61 @@ def test_config_rejects_negative_prune_slack():
 
     with _pytest.raises(ValueError, match="verify_prune_slack"):
         dataclasses.replace(DEFAULT, verify_prune_slack=-0.05)
+
+
+# --- delta codec seam ---------------------------------------------------------
+
+
+def test_delta_codec_seam_both_codecs_roundtrip():
+    """The codec seam must hold for every registered codec: exact roundtrip
+    on near-dup, disjoint, empty, and prefix/suffix-mutated byte pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    base = bytes(rng.integers(0, 256, 8192, dtype=np.uint8))
+    cases = [
+        (base, base),                                  # identical
+        (base, base[:4000] + b"XYZ" + base[4200:]),    # splice edit
+        (base, b"PREFIX" + base),                      # shifted
+        (base, bytes(rng.integers(0, 256, 512, dtype=np.uint8))),  # unrelated
+        (b"", b"hello"),                               # empty base
+        (base, b""),                                   # empty target
+    ]
+    for codec in delta_op.CODECS:
+        for b, t in cases:
+            d = delta_op.delta_encode(b, t, codec=codec)
+            assert delta_op.delta_decode(b, d, codec=codec) == t, codec
+
+
+def test_delta_codec_seam_near_dup_compresses():
+    # both codecs must beat the 20% rule on a genuine near-dup
+    base = (b"def f(x):\n    return x * 2\n" * 300)
+    target = base[:2000] + b"# patched\n" + base[2000:]
+    for codec in delta_op.CODECS:
+        d = delta_op.delta_encode(base, target, codec=codec)
+        assert len(d) <= 0.2 * len(target), codec
+
+
+def test_chunk_store_roundtrip_with_blockcopy_codec(spark):
+    """End-to-end write+read with the non-default codec: the seam threads
+    cfg.delta_codec through encode_clusters AND reconstruct_and_verify."""
+    import dataclasses
+
+    from hmse_spark.config import DEFAULT
+    from hmse_spark.plans import chunkstore
+
+    cfg = dataclasses.replace(DEFAULT, delta_codec="blockcopy")
+    base_text = "".join(f"line {i}: some repeated source text\n" for i in range(400))
+    rows = [(0, base_text)]
+    for i in range(1, 12):
+        rows.append((i, base_text[: 100 * i] + f"<edit {i}>" + base_text[100 * i :]))
+    files = spark.createDataFrame(rows, "file_id long, content string")
+    store = chunkstore.build_chunk_store(spark, files, cfg)
+    ok = chunkstore.reconstruct_and_verify(spark, files, store, cfg=cfg)
+    assert ok.filter("NOT ok").count() == 0
+    assert ok.count() == 12
+    # and a config naming an unregistered codec is rejected up front
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="delta_codec"):
+        dataclasses.replace(DEFAULT, delta_codec="xdelta3")
