@@ -37,18 +37,18 @@ from hmse_spark.config import DEFAULT, PipelineConfig
 from hmse_spark.functions.hashing import avalanche64
 from hmse_spark.operators.fastcdc import rolling_hash_lowbits
 
-_ANCHOR_BITS = 8  # anchor every ~256 bytes on average
-
-
 def anchor_fingerprints(data: bytes, cfg: PipelineConfig = DEFAULT) -> np.ndarray:
     """Sorted unique uint64 fingerprints of the L-byte windows that follow
-    each content-defined anchor position."""
+    each content-defined anchor position. Anchor density is 2^-anchor_bits
+    per byte (cfg.substr_anchor_bits): at the default 8, a ~256-byte doc has
+    a ~e^-1 chance of ZERO anchors — callers hunting containment of short
+    docs should densify (see q_ngram_containment_pairs)."""
     L = cfg.substr_min_len
     n = len(data)
     if n < L + 1:
         return np.empty(0, dtype=np.uint64)
     buf = np.frombuffer(data, dtype=np.uint8)
-    h = rolling_hash_lowbits(buf, _ANCHOR_BITS, cfg.cdc_window)
+    h = rolling_hash_lowbits(buf, cfg.substr_anchor_bits, cfg.cdc_window)
     anchors = np.flatnonzero(h == 0)
     anchors = anchors[anchors + L <= n]
     if anchors.size == 0:

@@ -264,8 +264,53 @@ def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("near_dup_clusters", None)
+@register(
+    "near_dup_clusters",
+    """
+    WITH RECURSIVE
+    reps AS (SELECT min(doc_id) AS id, text FROM documents GROUP BY text),
+    sh AS (
+      SELECT id,
+             list_distinct(list_transform(range(1, length(text) - 2),
+                                          i -> substr(text, CAST(i AS INT), 4))) AS s
+      FROM reps WHERE length(text) >= 4
+    ),
+    near AS (
+      -- ALL rep pairs with true char-4-gram Jaccard >= 0.85 (brute force)
+      SELECT a.id AS id_a, b.id AS id_b FROM sh a JOIN sh b ON a.id < b.id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85
+    ),
+    dup AS (
+      -- exact-duplicate edges: every doc to its sha-canonical
+      SELECT d.doc_id AS id_a, m.base AS id_b
+      FROM documents d
+      JOIN (SELECT sha256(text) AS sha, min(doc_id) AS base
+            FROM documents GROUP BY 1) m ON sha256(d.text) = m.sha
+      WHERE d.doc_id <> m.base
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM near UNION SELECT id_a, id_b FROM dup
+      UNION SELECT id_b, id_a FROM near UNION SELECT id_b, id_a FROM dup
+    ),
+    walk AS (
+      -- transitive closure: which labels can each doc reach
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT w.id, e.id_b FROM walk w JOIN edges e ON e.id_a = w.label
+    )
+    SELECT CAST(id AS BIGINT) AS file_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY id
+    """,
+)
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship near-dup output, now DuckDB-oracled end to end: the
+    oracle recomputes the edge set BRUTE-FORCE (all rep pairs at true
+    4-gram Jaccard >= 0.85, plus exact-dup edges) and labels components with
+    a recursive min-label closure. A hash match therefore certifies the
+    whole chain — multi-variant candidate recall, exact verification, AND
+    the distributed connected-components labeling (cluster_id = component
+    min id) — against an implementation sharing none of its machinery."""
     from hmse_spark.plans.pipeline import run_near_dup_pipeline
     from hmse_spark.sources.tables import documents_as_corpus
 
@@ -397,6 +442,23 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_topk(emb, k=3, n_planes=4, n_bands=16)
+
+
+@register("embedding_bucket_report", None)
+def q_embedding_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-silent-caps accounting for the embedding bucket joins (the
+    embedding analogue of the pipeline's capped_bucket_report): per oversized
+    bucket, the pairs the salted join kept vs elided. Uses ann_topk's
+    plane/band config with a tighter audit cap (32) so the report is
+    non-empty at this SF — the production cap only triggers on degenerate
+    distributions."""
+    from hmse_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = similarity.hyperplane_bucket_flat(
+        emb, n_planes=4, n_bands=16, id_col="vec_id"
+    )
+    return similarity.embedding_bucket_report(flat, 32, directed=True).orderBy("bucket")
 
 
 @register("ivf_topk", None)
@@ -959,14 +1021,48 @@ def q_repeated_wordgram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repeated_wordgrams(docs, n=5, min_docs=3)
 
 
-@register("ngram_containment_pairs", None)
+@register(
+    "ngram_containment_pairs",
+    """
+    WITH docs AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 500000,
+             repeat('PREFIX FILLER ', 40) || text || repeat(' SUFFIX FILLER ', 40)
+      FROM documents WHERE doc_id < 5
+    ), sh AS (
+      SELECT id,
+             list_distinct(list_transform(range(1, length(text) - 2),
+                                          i -> substr(text, CAST(i AS INT), 4))) AS s
+      FROM docs WHERE length(text) >= 4
+    )
+    SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+           CAST(ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                / least(len(a.s), len(b.s)), 6) AS DOUBLE) AS containment,
+           CAST(ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+                AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE ROUND(len(list_intersect(a.s, b.s)) * 1.0
+          / least(len(a.s), len(b.s)), 6) >= 0.9
+    """,
+)
 def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Superstring dedup: pairs where the smaller doc is >= 90% shingle-
-    contained in the other. Candidates from the anchor-fingerprint path
-    (shared >= L-byte windows — the substring-overlap signal), verified with
-    exact containment. A contained doc is synthesized (doc 0's text inside
-    filler) because the testdata has no natural containment pairs."""
-    from hmse_spark.operators import suffix, verify
+    contained in the other. Candidates come from BOTH signal paths — the
+    anchor-fingerprint path (shared >= L-byte windows, catches a doc pasted
+    into filler where symmetric Jaccard collapses) UNION the MinHash band
+    path (catches high-Jaccard near-dups whose shared windows fall below the
+    anchor floor) — then exact-containment verified. A contained doc is
+    synthesized (each of docs 0-4 inside filler) because the testdata has no
+    natural containment pairs. The oracle brute-forces ALL pairs with
+    containment >= 0.9, so the match certifies the two-path candidate net
+    has recall 1 on this corpus (anchor-only measured 19/30 here — the
+    union is what closes it)."""
+    import dataclasses
+
+    from hmse_spark.config import DEFAULT
+    from hmse_spark.operators import lsh, minhash, suffix, verify
     from hmse_spark.sources.tables import documents_as_corpus
 
     corpus = documents_as_corpus(spark, sf_dir)
@@ -981,8 +1077,23 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     docs = base.unionByName(planted)
-    cands = suffix.anchor_candidate_pairs(docs)
-    return verify.containment_pairs(cands.select("id_a", "id_b"), docs, threshold=0.9)
+    # one shared >= L-byte window IS the containment signal, so candidacy
+    # needs min_anchors=1, and ~300-byte docs need denser anchors (at the
+    # default 1/256 rate a short doc has ~e^-1 odds of ZERO anchors — docs 3
+    # and 4 here measured exactly that); verification bounds the extra
+    # candidates either way
+    anchor_cfg = dataclasses.replace(
+        DEFAULT, substr_min_anchors=1, substr_anchor_bits=5
+    )
+    anchor_cands = suffix.anchor_candidate_pairs(docs, cfg=anchor_cfg).select(
+        "id_a", "id_b"
+    )
+    sigs = minhash.add_signatures(docs, "content")
+    band_cands = lsh.candidate_pairs(lsh.explode_bands(sigs, "file_id")).select(
+        "id_a", "id_b"
+    )
+    cands = anchor_cands.unionByName(band_cands).distinct()
+    return verify.containment_pairs(cands, docs, threshold=0.9)
 
 
 @register("training_data_curation", None)
@@ -1159,6 +1270,72 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.pointer_rows.select(
         F.col("file_id").alias("doc_id"), "file_sha", "base_id"
     )
+
+
+@register(
+    "streaming_ingest",
+    """
+    WITH existing AS (
+      SELECT doc_id, sha256(text) AS sha FROM documents WHERE doc_id % 10 < 7
+    ), newb AS (
+      SELECT doc_id, sha256(text) AS sha FROM documents WHERE doc_id % 10 >= 7
+      UNION ALL
+      SELECT doc_id + 100000, sha256(text) FROM documents WHERE doc_id % 10 < 2
+      UNION ALL
+      SELECT doc_id + 200000, sha256(text) FROM documents WHERE doc_id % 10 >= 8
+    ), ext_idx AS (
+      SELECT sha, MIN(doc_id) AS base FROM existing GROUP BY sha
+    ), external_ptrs AS (
+      SELECT n.doc_id, n.sha AS file_sha, CAST(i.base AS BIGINT) AS base_id
+      FROM newb n JOIN ext_idx i ON n.sha = i.sha
+    ), unseen AS (
+      SELECT n.doc_id, n.sha FROM newb n
+      LEFT JOIN ext_idx i ON n.sha = i.sha WHERE i.sha IS NULL
+    ), batch_idx AS (
+      SELECT sha, MIN(doc_id) AS base FROM unseen GROUP BY sha
+    ), internal_ptrs AS (
+      SELECT u.doc_id, u.sha AS file_sha, CAST(b.base AS BIGINT) AS base_id
+      FROM unseen u JOIN batch_idx b ON u.sha = b.sha WHERE u.doc_id <> b.base
+    )
+    SELECT * FROM external_ptrs UNION ALL SELECT * FROM internal_ptrs
+    """,
+)
+def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest at the driver surface: the SAME two-regime
+    increment as q_incremental_ingest, but delivered through readStream ->
+    foreachBatch(process_batch) over a two-batch parquet directory (drained
+    with availableNow), with pointer rows read back from the replay-safe
+    persisted state. Sharing the incremental oracle SQL is the point: the
+    streaming ledger must land on exactly the batch answer. Pointer rows are
+    micro-batch-split invariant (a within-batch dup that lands in a later
+    micro-batch becomes an external hit against the ledger with the SAME
+    base_id), so the oracle holds however the source batches the files."""
+    import tempfile
+
+    from hmse_spark.sources.tables import documents_as_corpus
+    from hmse_spark.streaming import StreamState, start_stream_ingest
+
+    corpus = documents_as_corpus(spark, sf_dir).select("file_id", "content")
+    existing = corpus.filter(F.col("file_id") % 10 < 7)
+    fresh = corpus.filter(F.col("file_id") % 10 >= 7)
+    ext_dups = corpus.filter(F.col("file_id") % 10 < 2).withColumn(
+        "file_id", F.col("file_id") + 100000
+    )
+    int_dups = corpus.filter(F.col("file_id") % 10 >= 8).withColumn(
+        "file_id", F.col("file_id") + 200000
+    )
+    batch2 = fresh.unionByName(ext_dups).unionByName(int_dups)
+
+    root = tempfile.mkdtemp(prefix="hmse_streaming_q_")
+    input_dir, state_root = f"{root}/in", f"{root}/state"
+    for b in (existing, batch2):
+        b.coalesce(1).write.mode("append").parquet(input_dir)
+        start_stream_ingest(
+            spark, input_dir, state_root, "file_id long, content string"
+        ).awaitTermination()
+
+    ptrs = spark.read.parquet(StreamState(state_root).path("pointers"))
+    return ptrs.select(F.col("file_id").alias("doc_id"), "file_sha", "base_id")
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
