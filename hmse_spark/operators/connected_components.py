@@ -48,13 +48,17 @@ def connected_components(
     hidden. 200k edges x 16 bytes ~ 3 MB on the driver — safe by two orders
     of magnitude against driver memory.
     """
-    # persist BEFORE counting: the adaptive size probe must not re-execute
+    # persist BEFORE probing: the adaptive size probe must not re-execute
     # the (potentially expensive, UDF-bearing) upstream edge plan a second
     # time on whichever path consumes the edges next
     edges = edges.persist()
-    n_edges = edges.count()
-    if n_edges <= local_threshold:
-        return _local_cc(edges)
+    # fused probe+fetch: limit(threshold+1).collect() both DECIDES the path
+    # and, in the small case, already holds every edge — one Spark job where
+    # count-then-collect cost two (each job is ~1 s of pure scheduler latency
+    # on a busy host, dominating tiny graphs)
+    probe = edges.select("id_a", "id_b").limit(local_threshold + 1).collect()
+    if len(probe) <= local_threshold:
+        return _local_cc(edges, rows=probe)
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -118,10 +122,12 @@ def connected_components(
     )
 
 
-def _local_cc(edges: DataFrame) -> DataFrame:
+def _local_cc(edges: DataFrame, rows: list | None = None) -> DataFrame:
     """Driver-side union-find over a small collected edge list; returns the
-    same (uid, cluster_id) schema as the distributed loop."""
-    rows = edges.select("id_a", "id_b").collect()
+    same (uid, cluster_id) schema as the distributed loop. ``rows``: the
+    already-collected edges from the fused size probe."""
+    if rows is None:
+        rows = edges.select("id_a", "id_b").collect()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -80,8 +80,14 @@ def make_fused_udf(
         ]
         n = len(contents)
         out: dict = {}
+        # build shingle sets ONCE for both set-based kernels
+        sets = None
+        if want_min or want_sim:
+            from hmse_spark.functions.shingles import shingle_set_u32
+
+            sets = [shingle_set_u32(c, ecfg.shingle_k) for c in contents]
         if want_min:
-            sig = minhash_batch(contents, ecfg)
+            sig = minhash_batch(contents, ecfg, sets=sets)
             bands = band_hash_batch(sig, ecfg)
             out["sig"] = list(sig.view(np.int32).reshape(sig.shape))
             out["bands"] = list(bands)
@@ -89,7 +95,7 @@ def make_fused_udf(
             out["sig"] = [None] * n
             out["bands"] = [None] * n
         if want_sim:
-            fp = simhash_batch(contents, ecfg)
+            fp = simhash_batch(contents, ecfg, sets=sets)
             out["simhash"] = fp.view(np.int64)
             out["sim_bands"] = list(simhash_bands(fp, ecfg))
         else:

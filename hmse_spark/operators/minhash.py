@@ -45,7 +45,11 @@ _EMPTY_SENTINEL = np.uint32(0xFFFFFFFF)
 _TILE = 1 << 16  # 64k shingles (256 KB) — stays L2-resident across all seeds
 
 
-def minhash_batch(contents: list[bytes], cfg: PipelineConfig = DEFAULT) -> np.ndarray:
+def minhash_batch(
+    contents: list[bytes],
+    cfg: PipelineConfig = DEFAULT,
+    sets: list[np.ndarray] | None = None,
+) -> np.ndarray:
     """(n_units, num_hashes) uint32 signature matrix for a batch of units.
 
     Cache tiling: the naive per-seed pass streams the whole concatenated
@@ -56,10 +60,14 @@ def minhash_batch(contents: list[bytes], cfg: PipelineConfig = DEFAULT) -> np.nd
     and per-doc minima are merged across tile boundaries — main-memory
     traffic drops to ~one read of the shingle array plus the signature
     matrix.
+
+    ``sets``: precomputed ``shingle_set_u32`` outputs (the fused pass shares
+    one set-building pass between MinHash and SimHash).
     """
     n = len(contents)
     sig = np.full((n, cfg.num_hashes), _EMPTY_SENTINEL, dtype=np.uint32)
-    sets = [shingle_set_u32(c, cfg.shingle_k) for c in contents]
+    if sets is None:
+        sets = [shingle_set_u32(c, cfg.shingle_k) for c in contents]
     lens = np.array([s.size for s in sets], dtype=np.int64)
     nonempty = np.flatnonzero(lens > 0)
     if nonempty.size == 0:

