@@ -75,6 +75,11 @@ class PipelineConfig:
                                       # (~1/256); lower = denser anchors for
                                       # short-doc containment hunting
     substr_partition_bytes: int = 64 << 20  # hard per-partition byte bound
+    substr_shard_replicas: int = 4    # exact-SA sharding: each doc joins the
+                                      # groups of its R smallest anchor fps
+                                      # (bottom-k sketch) — near-dups sharing
+                                      # ANY of those windows co-locate, at Rx
+                                      # content replication in that shuffle
 
     # Skew handling for the band self-join (README.md:1929-1933 hot-bucket model)
     max_bucket_size: int = 200    # buckets above this are capped (pairs vs a

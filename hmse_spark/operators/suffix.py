@@ -245,7 +245,15 @@ def suffix_array_pairs(
     spark = df.sparkSession
     if num_groups is None:
         total = df.select(F.sum(F.octet_length(content_col))).first()[0] or 1
-        num_groups = max(1, int(total // max(cfg.substr_partition_bytes, 1)) + 1)
+        # floor at the cluster parallelism: the byte budget alone would put a
+        # sub-64MiB corpus into ONE group = one task running the whole O(n
+        # log n) suffix sort serially. More groups are sound under anchor
+        # sharding (copies still share their min-anchor key; partial overlaps
+        # are the global anchor path's job either way — see shard_by docs).
+        num_groups = max(
+            int(total // max(cfg.substr_partition_bytes, 1)) + 1,
+            spark.sparkContext.defaultParallelism,
+        )
 
     schema = "id_a long, id_b long"
 
@@ -280,12 +288,27 @@ def suffix_array_pairs(
             fps = F.col(fps_col)
         else:
             fps = make_anchor_udf(cfg)(F.col(content_col))
-        key = F.coalesce(F.array_min(fps), F.xxhash64(F.col(id_col)))
+        # bottom-R sketch sharding: a doc joins the group of EACH of its R
+        # smallest anchor fps, so two near-dups co-locate iff they share any
+        # of those windows (a single min would split them on any edit before
+        # the min anchor). Group ids are deduped locally (array_distinct) so
+        # a doc ships at most once per group; replication factor <= R.
+        R = max(1, cfg.substr_shard_replicas)
+        grps = F.when(
+            F.size(fps) > 0,
+            F.array_distinct(
+                F.transform(
+                    F.slice(F.array_sort(fps), 1, R),
+                    lambda k: F.pmod(k, F.lit(num_groups)),
+                )
+            ),
+        ).otherwise(F.array(F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_groups))))
+        grouped = base.withColumn("_grp", F.explode(grps))
     elif shard_by == "id":
         key = F.hash(F.col(id_col)).cast("long")
+        grouped = base.withColumn("_grp", F.pmod(key, F.lit(num_groups)))
     else:
         raise ValueError(f"shard_by must be 'anchor' or 'id', got {shard_by!r}")
-    grouped = base.withColumn("_grp", F.pmod(key, F.lit(num_groups)))
     if fps_col:
         grouped = grouped.drop(fps_col)
     return grouped.groupBy("_grp").applyInPandas(run_group, schema=schema).distinct()

@@ -102,9 +102,18 @@ def run_near_dup_pipeline(
     from hmse_spark.runtime import fan_out_small_input
 
     reps = fan_out_small_input(reps_cached, probe=files)
+    # substr_sa shards by the fused pass's anchor_fps — make sure they are
+    # actually computed when the anchor pair variant itself wasn't requested,
+    # otherwise NULL fps silently degrade the shard key to an id hash and the
+    # exact detector loses cross-corpus co-location.
+    fused_variants = (
+        variants + ("substr",)
+        if "substr_sa" in variants and "substr" not in variants
+        else variants
+    )
     signatures = stage(
         "signatures",
-        lambda: add_fused_signatures(reps, content_col, cfg, variants).select(
+        lambda: add_fused_signatures(reps, content_col, cfg, fused_variants).select(
             id_col, "file_sha", "sig", "bands", "simhash", "sim_bands", "anchor_fps"
         ),
     )

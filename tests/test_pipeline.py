@@ -112,3 +112,24 @@ def test_estimator_preprune_preserves_results(spark):
     la = {r["file_id"]: r["cluster_id"] for r in base.clusters.collect()}
     lb = {r["file_id"]: r["cluster_id"] for r in pruned.clusters.collect()}
     assert la == lb
+
+
+def test_substr_sa_only_gets_anchor_sharding(spark):
+    """variants=("substr_sa",) must still compute anchor_fps in the fused
+    pass: the exact-SA detector shards by min anchor fingerprint, and NULL
+    fps would silently degrade the key to an id hash (losing cross-corpus
+    co-location of identical contents at scale)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(17)
+    body = "".join(chr(int(c)) for c in rng.integers(97, 123, size=6000))
+    rows = [(i, f"distinct filler {i} " * 400) for i in range(20)]
+    rows += [(100, body), (205, body)]  # planted exact repeat, distant ids
+    df = spark.createDataFrame(rows, "file_id long, content string")
+
+    res = run_near_dup_pipeline(spark, df, variants=("substr_sa",), with_metrics=False)
+    n_null = res.signatures.filter(F.col("anchor_fps").isNull()).count()
+    assert n_null == 0, "fused pass must emit anchor_fps for substr_sa"
+    labels = {r["file_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    assert labels[100] == labels[205], "exact copies must co-cluster"
