@@ -436,6 +436,66 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, k=3, max_rows=BRUTE_FORCE_CAP)
 
 
+@register(
+    "exact_substring_clusters",
+    f"""
+    WITH RECURSIVE
+    capped AS (
+      SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT {BRUTE_FORCE_CAP}
+    ),
+    grams AS (
+      -- every distinct 50-char window of every doc (char == byte: the
+      -- corpus is ASCII, already relied on by the near_dup_clusters oracle)
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, length(text) - 48),
+                    i -> substr(text, CAST(i AS INT), 50)))) AS g
+      FROM capped WHERE length(text) >= 50
+    ),
+    near AS (
+      -- ALL doc pairs sharing any 50-gram == sharing a >=50-byte substring
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM near UNION SELECT id_b, id_a FROM near
+    ),
+    walk AS (
+      SELECT doc_id AS id, doc_id AS label FROM capped
+      UNION
+      SELECT w.id, e.id_b FROM walk w JOIN edges e ON e.id_a = w.label
+    )
+    SELECT CAST(id AS BIGINT) AS file_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY id
+    """,
+)
+def q_exact_substring_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring clusters, DuckDB-oracled: docs sharing any
+    >= substr_min_len (50) byte substring are co-clustered. The Spark side is
+    the exact suffix-array detector (operators/suffix.py) run as the brute
+    baseline — ONE shard group over an explicitly capped input (mirroring
+    embedding_topk's pattern), so its maximal-run star edges provably span
+    the same components as the oracle's all-pairs 50-gram edge set; the
+    bottom-R anchor-sharded mode is the scale path (BENCH/RECALL.md). A hash
+    match certifies the suffix-array construction, the >=L-run pair
+    extraction, AND the component labeling against an implementation sharing
+    none of that machinery."""
+    from hmse_spark.config import DEFAULT
+    from hmse_spark.operators import connected_components as cc
+    from hmse_spark.operators import suffix
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    docs = (
+        documents_as_corpus(spark, sf_dir)
+        .orderBy("file_id")
+        .limit(BRUTE_FORCE_CAP)
+    )
+    pairs = suffix.suffix_array_pairs(docs, cfg=DEFAULT, num_groups=1, shard_by="id")
+    labels = cc.connected_components(pairs.select("id_a", "id_b"))
+    return cc.attach_singletons(labels, docs, "file_id").withColumnRenamed(
+        "uid", "file_id"
+    )
+
+
 @register("ann_topk", None)
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hmse_spark.operators import similarity
@@ -459,6 +519,19 @@ def q_embedding_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, n_planes=4, n_bands=16, id_col="vec_id"
     )
     return similarity.embedding_bucket_report(flat, 32, directed=True).orderBy("bucket")
+
+
+@register("ivf_cell_report", None)
+def q_ivf_cell_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF sibling of embedding_bucket_report: per oversized coarse cell,
+    the index-side comparisons the salted cell join kept vs elided. Same
+    tightened audit cap (32) so the report is non-empty at this SF."""
+    from hmse_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_cell_report(
+        emb, n_cells=16, max_cell_size=32
+    ).orderBy("cell")
 
 
 @register("ivf_topk", None)
