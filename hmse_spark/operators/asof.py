@@ -23,14 +23,17 @@ Hot-key caveat (shared with every partitionBy window, incl. sessionization):
 one window partition = one task, so a pathological key (a single user with
 10^8 events) serializes into one executor thread and AQE cannot split it (the
 running forward-fill is order-dependent state). The range-partitioned
-fallback for such keys: bucket each hot key's rows by time range
-(``date_trunc`` month/day), run the same union+window per (key, bucket), then
-fix up each bucket's leading unmatched left rows by as-of joining them
-against the per-(key, bucket) LAST right payload of all PRECEDING buckets —
-a second, tiny window over per-bucket summaries (one row per key x bucket).
-Cost: 2 exchanges instead of 1, parallelism |key x bucket|. Not wired in
-here because the testdata and driver queries have bounded key cardinality;
-see test_asof_join_hot_key_correctness for the skew-shape guard.
+fallback IS wired in: pass ``time_bucket`` ("day"/"month"/any date_trunc
+granularity) to bucket each key's rows by time range, run the same
+union+window per (key, bucket), then fix up each bucket's leading unmatched
+left rows with the carried-in LAST right payload of all PRECEDING buckets —
+computed by a second, tiny window over per-(key, bucket) summaries (one row
+per key x bucket, including right-empty buckets so the carry crosses them).
+Cost: one extra (small) exchange over the summaries; parallelism
+|key x bucket| instead of |key|. Output is identical to the single-window
+plan (test_asof_bucketed_matches_plain pins it on ties, sparse buckets, and
+leading-unmatched rows; the asof_last_purchase_bucketed driver query holds
+it to DuckDB's native ASOF JOIN).
 
 Semantics are verified against DuckDB's native ASOF LEFT JOIN by the
 ``asof_last_purchase`` driver query (plans/queries.py).
@@ -48,6 +51,7 @@ def asof_join(
     on: list[str] | str,
     ts_col: str = "ts",
     tiebreak_col: str | None = None,
+    time_bucket: str | None = None,
 ) -> DataFrame:
     """For each left row: the latest right row per key with right ts <= left
     ts (inclusive). Right-only columns come back NULL where no right row
@@ -58,6 +62,11 @@ def asof_join(
     ``tiebreak_col`` (a right column) pins which right row wins when two
     right rows share a timestamp — REQUIRED for deterministic output if such
     ties can occur; with distinct timestamps it is irrelevant.
+
+    ``time_bucket`` (a ``date_trunc`` granularity: "hour"/"day"/"month"/...)
+    switches to the range-partitioned plan for hot keys — identical output,
+    window parallelism |key x bucket| instead of |key|; requires ``ts_col``
+    to be a timestamp/date. See the module docstring for the cost model.
     """
     keys = [on] if isinstance(on, str) else list(on)
     shared = set(keys) | {ts_col}
@@ -69,6 +78,9 @@ def asof_join(
     combined = left.withColumn("_is_left", F.lit(True)).unionByName(
         right.withColumn("_is_left", F.lit(False)), allowMissingColumns=True
     )
+    # pin the output column order here: the bucketed path's (key, bucket)
+    # join would otherwise reorder key columns to the front
+    out_cols = [c for c in combined.columns if c != "_is_left"]
     # the payload travels as ONE struct (null on left rows, non-null on right
     # rows even when its FIELDS are null): forward-filling per column would
     # let a matched row's legitimate NULL field be backfilled from an older
@@ -85,15 +97,60 @@ def asof_join(
     order = [F.col(ts_col).asc(), F.col("_is_left").cast("int").asc()]
     if tiebreak_col is not None:
         order.insert(1, F.col(tiebreak_col).asc_nulls_last())
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    combined = combined.withColumn(
-        "_matched", F.last("_payload", ignorenulls=True).over(w)
-    )
+
+    if time_bucket is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        combined = combined.withColumn(
+            "_matched", F.last("_payload", ignorenulls=True).over(w)
+        )
+    else:
+        combined = combined.withColumn("_bkt", F.date_trunc(time_bucket, F.col(ts_col)))
+        # 1) the same forward-fill, but per (key, bucket) — hot keys split
+        #    across |buckets| tasks
+        w_in = (
+            Window.partitionBy(*keys, "_bkt")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        combined = combined.withColumn(
+            "_matched_in", F.last("_payload", ignorenulls=True).over(w_in)
+        )
+        # 2) per-(key, bucket) LAST right payload; max_by ordering mirrors
+        #    the window order (ts, then tiebreak) so the carried winner is
+        #    the same row the single-window plan would pick
+        ordk = (
+            F.struct(F.col(ts_col), F.col(tiebreak_col))
+            if tiebreak_col is not None
+            else F.struct(F.col(ts_col))
+        )
+        summ = (
+            combined.filter(~F.col("_is_left"))
+            .groupBy(*keys, "_bkt")
+            .agg(F.max_by("_payload", ordk).alias("_bkt_last"))
+        )
+        # 3) carry across buckets: EVERY (key, bucket) seen on either side
+        #    gets the last right payload of strictly-preceding buckets
+        #    (right-empty buckets must appear or the carry would skip them)
+        bkts = combined.select(*keys, "_bkt").distinct()
+        w_c = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_bkt").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            bkts.join(summ, [*keys, "_bkt"], "left")
+            .withColumn("_carry", F.last("_bkt_last", ignorenulls=True).over(w_c))
+            .select(*keys, "_bkt", "_carry")
+        )
+        combined = combined.join(carry, [*keys, "_bkt"], "left").withColumn(
+            "_matched", F.coalesce(F.col("_matched_in"), F.col("_carry"))
+        )
+
     out = combined.filter(F.col("_is_left"))
     for c in payload:
         out = out.withColumn(c, F.col(f"_matched.{c}"))
-    return out.drop("_is_left", "_payload", "_matched")
+    return out.select(*out_cols)

@@ -949,6 +949,41 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_last_purchase_bucketed",
+    """
+    SELECT v.event_id,
+           CAST(v.user_id AS BIGINT) AS user_id,
+           p.event_id AS last_purchase_id,
+           CAST(ROUND(p.value, 4) AS DOUBLE) AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+)
+def q_asof_last_purchase_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key (range-partitioned) as-of plan: same semantics as
+    asof_last_purchase but windowed per (user, day) with a cross-bucket
+    carry (operators/asof.py time_bucket) — held to the SAME native DuckDB
+    ASOF LEFT JOIN oracle, so the fallback plan is certified equivalent, not
+    just equivalence-tested against our own single-window plan."""
+    from hmse_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("last_purchase_id"),
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("last_purchase_value"),
+    )
+    return asof_join(
+        views, purchases, on="user_id", ts_col="ts", time_bucket="day"
+    ).select("event_id", "user_id", "last_purchase_id", "last_purchase_value")
+
+
+@register(
     "click_purchase_within_hour",
     """
     SELECT c.event_id AS click_id,

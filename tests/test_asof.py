@@ -281,3 +281,56 @@ def test_cascading_rollup_month_not_from_week(spark):
     # a month level cascaded from week with no day-or-finer source is invalid
     with pytest.raises(ValueError, match="week"):
         cascading_time_rollup(df, levels=("week", "month"))
+
+
+def test_asof_bucketed_matches_plain(spark, frames):
+    """time_bucket switches to the range-partitioned plan; output must be
+    identical to the single-window plan — including inclusive equal-ts
+    matches, leading-unmatched left rows, keys with no right rows, and
+    carries across buckets that contain no right rows."""
+    left, right = frames
+    plain = asof_join(left, right, on="user_id")
+    for gran in ("minute", "hour", "day"):
+        bucketed = asof_join(left, right, on="user_id", time_bucket=gran)
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, bucketed.collect()))
+        assert a == b, f"bucketed({gran}) diverged from the single-window plan"
+
+
+def test_asof_bucketed_carry_crosses_empty_buckets(spark):
+    """A left row in an hour bucket with no right rows (and an empty hour in
+    between) must still match the last right row of an earlier bucket."""
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 13:30:00")], "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(100, 10, "2024-01-01 10:15:00", 1.0), (101, 10, "2024-01-01 10:45:00", 2.0)],
+        "rid long, user_id long, ts string, val double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = asof_join(left, right, on="user_id", time_bucket="hour").collect()
+    assert len(out) == 1
+    assert (out[0]["rid"], out[0]["val"]) == (101, 2.0)
+
+
+def test_asof_bucketed_tiebreak_and_hot_key(spark):
+    """Bucketed plan under the hot-key fixture + equal-ts right rows with a
+    tiebreak column: same winners as the plain plan."""
+    n = 5000
+    left = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.lit(1).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 120).alias("ts"),
+    )
+    # two right rows at every 3000s tick sharing a timestamp: rid pins winner
+    right = spark.range(200).select(
+        F.col("id").alias("rid"),
+        F.lit(1).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + (F.col("id") % 100) * 3000).alias("ts"),
+    )
+    plain = asof_join(left, right, on="user_id", tiebreak_col="rid")
+    bucketed = asof_join(
+        left, right, on="user_id", tiebreak_col="rid", time_bucket="day"
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, bucketed.collect()))
+    assert a == b
