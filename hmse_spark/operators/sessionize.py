@@ -1,0 +1,74 @@
+"""Gap-based sessionization (SURVEY.md §2.5 window breadth).
+
+``session_counts``: per user, the number of events and of sessions, where a
+new session starts at every gap > ``gap_minutes`` between consecutive events
+(ordered by (ts, order_col)).
+
+Two physical plans, identical output:
+
+- single-window (default): lag over (user) — one shuffle on user_id shared
+  by the window and the final aggregate. One window partition per user =
+  one task per user, so a pathological key (10^8 events for one user)
+  serializes — the same hot-key regime as asof_join (operators/asof.py).
+- ``time_bucket`` (range-partitioned): lag per (user, date_trunc bucket)
+  counts *internal* gaps with |user x bucket| parallelism; a second lag over
+  the per-(user, bucket) summary table (one row per user x non-empty bucket:
+  n, internal gaps, first_ts, last_ts) counts *boundary* gaps between
+  consecutive non-empty buckets. Sessions = 1 + internal + boundary. Gap
+  counting is decomposable, so — unlike the as-of carry — empty buckets need
+  no special handling: consecutive summary rows ARE the consecutive events
+  across the gap. Equal timestamps always fall in the same bucket, so the
+  per-bucket (ts, order_col) ordering agrees with the global one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def session_counts(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    time_bucket: str | None = None,
+) -> DataFrame:
+    """(user_id, n_events, n_sessions) per user appearing in ``events``."""
+    gap_ivl = F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")
+
+    if time_bucket is None:
+        w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+        e = events.withColumn("_prev", F.lag(ts_col).over(w))
+        gap = F.when(
+            F.col("_prev").isNotNull() & (F.col(ts_col) - F.col("_prev") > gap_ivl), 1
+        ).otherwise(0)
+        return e.groupBy(user_col).agg(
+            F.count("*").alias("n_events"),
+            (F.lit(1) + F.sum(gap)).cast("long").alias("n_sessions"),
+        )
+
+    e = events.withColumn("_bkt", F.date_trunc(time_bucket, F.col(ts_col)))
+    w_in = Window.partitionBy(user_col, "_bkt").orderBy(ts_col, order_col)
+    e = e.withColumn("_prev", F.lag(ts_col).over(w_in))
+    gap_in = F.when(
+        F.col("_prev").isNotNull() & (F.col(ts_col) - F.col("_prev") > gap_ivl), 1
+    ).otherwise(0)
+    summ = e.groupBy(user_col, "_bkt").agg(
+        F.count("*").alias("_n"),
+        F.sum(gap_in).alias("_g"),
+        F.min(ts_col).alias("_first_ts"),
+        F.max(ts_col).alias("_last_ts"),
+    )
+    w_b = Window.partitionBy(user_col).orderBy("_bkt")
+    summ = summ.withColumn("_prev_last", F.lag("_last_ts").over(w_b))
+    boundary = F.when(
+        F.col("_prev_last").isNotNull()
+        & (F.col("_first_ts") - F.col("_prev_last") > gap_ivl),
+        1,
+    ).otherwise(0)
+    return summ.groupBy(user_col).agg(
+        F.sum("_n").cast("long").alias("n_events"),
+        (F.lit(1) + F.sum(F.col("_g") + boundary)).cast("long").alias("n_sessions"),
+    )

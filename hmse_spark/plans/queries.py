@@ -1303,20 +1303,35 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by the window and the final aggregate. The gap compares raw
     timestamp differences against an interval (ts is TIMESTAMP_NTZ; epoch
     conversion would drag in session-timezone semantics for nothing)."""
-    from pyspark.sql import Window
+    from hmse_spark.operators.sessionize import session_counts
 
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    e = events.withColumn("prev", F.lag("ts").over(w))
-    gap = F.when(
-        F.col("prev").isNotNull()
-        & (F.col("ts") - F.col("prev") > F.expr("INTERVAL 30 MINUTE")),
-        1,
-    ).otherwise(0)
-    return e.groupBy("user_id").agg(
-        F.count("*").alias("n_events"),
-        (F.lit(1) + F.sum(gap)).cast("long").alias("n_sessions"),
+    return session_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "user_sessions_bucketed",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
     )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(1 + SUM(CASE WHEN prev IS NOT NULL
+                              AND ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions
+    FROM e GROUP BY user_id
+    """,
+)
+def q_user_sessions_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key sessionization plan: internal gaps per (user, day) window
+    + boundary gaps over the per-bucket summary table
+    (operators/sessionize.py time_bucket) — held to the SAME single-window
+    oracle SQL, certifying the decomposed plan end to end."""
+    from hmse_spark.operators.sessionize import session_counts
+
+    return session_counts(load_table(spark, sf_dir, "events"), time_bucket="day")
 
 
 @register(

@@ -1,0 +1,74 @@
+"""Sessionization operator (operators/sessionize.py): plain vs
+range-partitioned plan equivalence, boundary-gap handling, hot keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hmse_spark.operators.sessionize import session_counts
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_sessionize_basic(spark):
+    e = _events(spark, [
+        (1, 10, "2024-01-01 10:00:00"),
+        (2, 10, "2024-01-01 10:10:00"),   # same session
+        (3, 10, "2024-01-01 11:00:00"),   # 50-min gap -> new session
+        (4, 20, "2024-01-01 09:00:00"),   # other user, one session
+    ])
+    out = {r["user_id"]: (r["n_events"], r["n_sessions"])
+           for r in session_counts(e).collect()}
+    assert out == {10: (3, 2), 20: (1, 1)}
+
+
+def test_sessionize_bucketed_matches_plain(spark):
+    """Deterministic pseudo-random events: many users, gaps straddling day
+    boundaries, equal timestamps — bucketed (hour and day) must equal the
+    single-window plan exactly."""
+    e = spark.range(4000).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id"), F.lit(37)).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + F.pmod(F.xxhash64(F.col("id") + 1), F.lit(7 * 86400))
+        ).alias("ts"),
+    )
+    plain = sorted(map(tuple, session_counts(e).collect()))
+    for gran in ("hour", "day"):
+        bucketed = sorted(map(tuple, session_counts(e, time_bucket=gran).collect()))
+        assert bucketed == plain, f"time_bucket={gran} diverged"
+
+
+def test_sessionize_boundary_gap_vs_continuation(spark):
+    """One session continuing across midnight AND a real gap across
+    midnight, same user set — the boundary lag must distinguish them."""
+    cont = _events(spark, [
+        (1, 1, "2024-01-01 23:50:00"),
+        (2, 1, "2024-01-02 00:10:00"),   # 20 min across midnight: same session
+        (3, 2, "2024-01-01 23:00:00"),
+        (4, 2, "2024-01-02 01:00:00"),   # 2 h across midnight: new session
+    ])
+    out = {r["user_id"]: r["n_sessions"]
+           for r in session_counts(cont, time_bucket="day").collect()}
+    assert out == {1: 1, 2: 2}
+
+
+def test_sessionize_hot_key_bucketed(spark):
+    """20k events on one user: bucketed session count equals the exact
+    closed form (events every 20 min -> one session per day boundary only
+    when the spacing exceeds the gap; here spacing 45 min > 30 min gap, so
+    every event starts a session)."""
+    n = 2000
+    e = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.lit(1).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 2700).alias("ts"),
+    )
+    out = session_counts(e, time_bucket="day").collect()
+    assert len(out) == 1
+    assert (out[0]["n_events"], out[0]["n_sessions"]) == (n, n)
