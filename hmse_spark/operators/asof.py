@@ -120,13 +120,20 @@ def asof_join(
             "_matched_in", F.last("_payload", ignorenulls=True).over(w_in)
         )
         # 2) per-(key, bucket) LAST right payload; max_by ordering mirrors
-        #    the window order (ts, then tiebreak) so the carried winner is
-        #    the same row the single-window plan would pick
-        ordk = (
-            F.struct(F.col(ts_col), F.col(tiebreak_col))
-            if tiebreak_col is not None
-            else F.struct(F.col(ts_col))
-        )
+        #    the window order (ts, then tiebreak asc_nulls_last) so the
+        #    carried winner is the same row the single-window plan would
+        #    pick. asc_nulls_last means a NULL tiebreak sorts LAST (= wins
+        #    the forward fill) among equal-ts right rows, while max_by's
+        #    struct ordering treats NULL as smallest — the explicit
+        #    isnull flag field reproduces the nulls-last ranking.
+        if tiebreak_col is not None:
+            ordk = F.struct(
+                F.col(ts_col),
+                F.isnull(tiebreak_col).cast("int"),
+                F.col(tiebreak_col),
+            )
+        else:
+            ordk = F.struct(F.col(ts_col))
         summ = (
             combined.filter(~F.col("_is_left"))
             .groupBy(*keys, "_bkt")
@@ -134,19 +141,40 @@ def asof_join(
         )
         # 3) carry across buckets: EVERY (key, bucket) seen on either side
         #    gets the last right payload of strictly-preceding buckets
-        #    (right-empty buckets must appear or the carry would skip them)
+        #    (right-empty buckets must appear or the carry would skip them).
+        #    Joins are NULL-SAFE on the keys: the window plan groups NULL
+        #    keys into one partition, so the carry joins must match them
+        #    too or cross-bucket matches for NULL keys silently vanish.
+        #    (The summary/carry sides are renamed _s_*/_c_* — they share
+        #    lineage with `combined`, and identical exprIds would make the
+        #    self-join conditions ambiguous.)
+        summ = summ.select(
+            *[F.col(k).alias(f"_s_{k}") for k in keys],
+            F.col("_bkt").alias("_s_bkt"),
+            "_bkt_last",
+        )
         bkts = combined.select(*keys, "_bkt").distinct()
+        s_cond = F.col("_bkt").eqNullSafe(F.col("_s_bkt"))
+        for k in keys:
+            s_cond = s_cond & F.col(k).eqNullSafe(F.col(f"_s_{k}"))
         w_c = (
             Window.partitionBy(*keys)
             .orderBy(F.col("_bkt").asc())
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         carry = (
-            bkts.join(summ, [*keys, "_bkt"], "left")
+            bkts.join(summ, s_cond, "left")
             .withColumn("_carry", F.last("_bkt_last", ignorenulls=True).over(w_c))
-            .select(*keys, "_bkt", "_carry")
+            .select(
+                *[F.col(k).alias(f"_c_{k}") for k in keys],
+                F.col("_bkt").alias("_c_bkt"),
+                "_carry",
+            )
         )
-        combined = combined.join(carry, [*keys, "_bkt"], "left").withColumn(
+        c_cond = F.col("_bkt").eqNullSafe(F.col("_c_bkt"))
+        for k in keys:
+            c_cond = c_cond & F.col(k).eqNullSafe(F.col(f"_c_{k}"))
+        combined = combined.join(carry, c_cond, "left").withColumn(
             "_matched", F.coalesce(F.col("_matched_in"), F.col("_carry"))
         )
 

@@ -144,11 +144,15 @@ def _annotate_bucket_sizes(flat: DataFrame) -> DataFrame:
 
 def _with_salt(big: DataFrame, max_bucket_size: int) -> DataFrame:
     """Deterministic salt: ceil(m/cap) groups per oversized bucket, so each
-    group holds ~cap members and a group self-join is bounded."""
+    group holds ~cap members and a group self-join is bounded. The bucket
+    key is folded into the hash: a uid-only salt puts a uid into the SAME
+    group in every band (identical n_groups across equal-size buckets), so
+    a pair split by the cap in one band would be split in all bands and the
+    multi-band redundancy could never rescue it."""
     return big.withColumn(
         "salt",
         F.pmod(
-            F.xxhash64("uid"),
+            F.xxhash64("uid", "bucket"),
             F.ceil(F.col("bucket_size") / F.lit(max_bucket_size)).cast("long"),
         ),
     )
@@ -247,10 +251,8 @@ def ann_topk(
     ``max_bucket_size`` are salted, not expanded quadratically: each query in
     an oversized bucket sees ~cap-1 same-group candidates (>= k as long as
     cap > k), bounding a degenerate bucket to O(m*cap) pairs."""
-    with_buckets = add_hyperplane_buckets(embeddings, dim, n_planes, n_bands, seed, vec_col)
-    flat = with_buckets.select(
-        F.col(id_col).alias("uid"), F.col(vec_col).alias("vec"),
-        F.explode("buckets").alias("bucket"),
+    flat = hyperplane_bucket_flat(
+        embeddings, dim, n_planes, n_bands, seed, id_col, vec_col
     )
     cand = (
         _capped_bucket_pairs(flat, max_bucket_size, directed=True)
@@ -382,11 +384,14 @@ def ivf_topk(
     # deterministic group, so it scans ~cap index entries instead of m.
     cell_sizes = index_side.groupBy("cell").agg(F.count("*").alias("cell_size"))
     n_groups = F.ceil(F.col("cell_size") / F.lit(max_cell_size)).cast("long")
+    # the cell is folded into the salt hash so multi-probe queries draw
+    # independent groups per probed cell; both sides use the same formula,
+    # so a vector still finds itself (vec_id == neighbor_id => same group)
     index_ann = index_side.join(F.broadcast(cell_sizes), "cell").withColumn(
-        "salt", F.pmod(F.xxhash64("neighbor_id"), n_groups)
+        "salt", F.pmod(F.xxhash64("neighbor_id", "cell"), n_groups)
     )
     query_ann = query_side.join(F.broadcast(cell_sizes), "cell").withColumn(
-        "salt", F.pmod(F.xxhash64("vec_id"), n_groups)
+        "salt", F.pmod(F.xxhash64("vec_id", "cell"), n_groups)
     )
     small_q = query_ann.filter(F.col("cell_size") <= max_cell_size)
     small_i = index_ann.filter(F.col("cell_size") <= max_cell_size)
@@ -436,10 +441,8 @@ def embedding_near_dup_pairs(
     degenerate bucket (m identical vectors) yields O(m*cap) pairs but stays
     one connected component for downstream clustering — the embedding
     analogue of lsh.salted_candidate_pairs."""
-    with_buckets = add_hyperplane_buckets(embeddings, dim, n_planes, n_bands, seed, vec_col)
-    flat = with_buckets.select(
-        F.col(id_col).alias("uid"), F.col(vec_col).alias("vec"),
-        F.explode("buckets").alias("bucket"),
+    flat = hyperplane_bucket_flat(
+        embeddings, dim, n_planes, n_bands, seed, id_col, vec_col
     )
     return (
         _capped_bucket_pairs(flat, max_bucket_size, directed=False)
@@ -511,7 +514,7 @@ def ivf_cell_report(
     )
     ng = F.ceil(F.col("cell_size") / F.lit(max_cell_size)).cast("long")
     per_group = (
-        big.withColumn("salt", F.pmod(F.xxhash64("uid"), ng))
+        big.withColumn("salt", F.pmod(F.xxhash64("uid", "cell"), ng))
         .groupBy("cell", "salt")
         .agg(F.count("*").alias("g"), F.max("cell_size").alias("cell_size"))
     )

@@ -215,32 +215,45 @@ def suffix_array_pairs(
 
     ``shard_by`` picks the group key:
 
-    - ``"anchor"`` (default): each doc's MINIMUM anchor fingerprint — a
-      content-derived key, so documents sharing content co-locate regardless
-      of their ids (two copies of a file always share the same global-min
-      anchor window). This is what lets the exact detector find cross-corpus
-      repeats at scale: an id-hash shard only ever compares docs that happen
-      to collide. Caveat (documented, measured in BENCH/RECALL.md): two docs
-      sharing only a substring co-locate iff that substring contains both
-      docs' min anchors — partial overlaps still rely on the global anchor
-      path, which is the corpus-wide detector by design. Pass ``fps_col``
-      (a precomputed ``array<long>`` of anchor fingerprints, e.g. from the
-      fused signature pass) to avoid recomputing anchors over content.
+    - ``"anchor"`` (default): bottom-R anchor sketch — each doc joins the
+      group of EACH of its R smallest anchor fingerprints
+      (``cfg.substr_shard_replicas``), at <=R x content replication in this
+      one shuffle (group ids are deduped locally, so a doc ships at most
+      once per group). Content-derived, so exact copies co-locate in every
+      one of their shared groups regardless of ids, and near-dups co-locate
+      iff they share ANY of their bottom-R anchor windows (a single
+      min-anchor key measured 0.8144 dup-pair recall under multi-group
+      sharding — one edit before the min anchor split the pair; bottom-4
+      restores measured 1.0000, BENCH/RECALL.md). Residual caveat: docs
+      sharing only a substring co-locate iff that substring contributes one
+      of both docs' bottom-R anchors — partial overlaps remain the global
+      anchor path's job by design. Pass ``fps_col`` (a precomputed
+      ``array<long>`` of anchor fingerprints, e.g. from the fused signature
+      pass) to avoid recomputing anchors over content.
     - ``"id"``: content-oblivious hash of the id — uniform group sizes, no
       extra content pass; only sound when the caller has already grouped
-      related docs or wants a bounded random-pairs probe.
+      related docs, wants a bounded random-pairs probe, or runs exhaustively
+      with ``num_groups=1`` (the exact_substring_clusters oracle query).
 
     Docs with no anchors (shorter than the window) fall back to the id hash.
+
+    ``num_groups=None`` floors the group count at the cluster default
+    parallelism even when the corpus fits one byte-budget group: the
+    one-group plan is an exhaustive serial suffix sort — occasionally
+    desirable on a small corpus, in which case pass ``num_groups=1``
+    explicitly — but it misrepresents the sharded regime every >budget
+    corpus is in, and one task pays its whole wall-clock.
 
     In-group budget: a group whose total bytes exceed the budget is processed
     as consecutive byte-bounded windows over the id-sorted members, each
     window overlapping the previous by one doc. Within a window the detector
     is exact; the overlap doc chains the windows, so a family of docs sharing
     the window substring stays one connected component (the same
-    connectivity-preserving cap as the LSH hub star — and co-grouped docs
-    already share their min anchor, so cross-window members are near-dups of
-    the chained doc by construction). Docs larger than the budget are
-    truncated to it (a doc that big shares plenty of windows).
+    connectivity-preserving cap as the LSH hub star; under anchor sharding,
+    co-grouped docs share the group's anchor window unless pmod collided
+    them, so chained-window members are textually related by construction).
+    Docs larger than the budget are truncated to it (a doc that big shares
+    plenty of windows).
     """
     spark = df.sparkSession
     if num_groups is None:

@@ -334,3 +334,42 @@ def test_asof_bucketed_tiebreak_and_hot_key(spark):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, bucketed.collect()))
     assert a == b
+
+
+def test_asof_bucketed_null_key_carries_across_buckets(spark):
+    """NULL join keys form one window partition in the plain plan; the
+    bucketed carry joins must be null-safe or their cross-bucket matches
+    silently vanish."""
+    left = spark.createDataFrame(
+        [(1, None, "2024-01-02 10:00:00"), (2, 7, "2024-01-02 10:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(100, None, "2024-01-01 09:00:00", 1.0), (200, 7, "2024-01-01 09:00:00", 2.0)],
+        "rid long, user_id long, ts string, val double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plain = {r["event_id"]: (r["rid"], r["val"])
+             for r in asof_join(left, right, on="user_id").collect()}
+    bucketed = {r["event_id"]: (r["rid"], r["val"])
+                for r in asof_join(left, right, on="user_id", time_bucket="day").collect()}
+    assert plain == {1: (100, 1.0), 2: (200, 2.0)}
+    assert bucketed == plain
+
+
+def test_asof_bucketed_null_tiebreak_matches_plain(spark):
+    """Equal-ts right rows where one has a NULL tiebreak: the window order
+    is asc_nulls_last (NULL wins last()), and the cross-bucket carry's
+    max_by must rank the same way."""
+    left = spark.createDataFrame(
+        [(1, 7, "2024-01-02 10:00:00")], "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(None, 7, "2024-01-01 09:00:00", 1.0), (5, 7, "2024-01-01 09:00:00", 2.0)],
+        "rid long, user_id long, ts string, val double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plain = [(r["rid"], r["val"])
+             for r in asof_join(left, right, on="user_id", tiebreak_col="rid").collect()]
+    bucketed = [(r["rid"], r["val"])
+                for r in asof_join(left, right, on="user_id", tiebreak_col="rid",
+                                   time_bucket="day").collect()]
+    assert plain == bucketed == [(None, 1.0)]
