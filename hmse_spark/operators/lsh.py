@@ -131,10 +131,14 @@ def salted_candidate_pairs(
     b = small.select("band_id", "band_hash", F.col("uid").alias("id_b"))
     small_pairs = a.join(b, ["band_id", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
 
+    # the bucket key is folded into the salt hash: a uid-only salt would
+    # put a uid into the same group in EVERY band (n_groups being equal),
+    # so a pair split by the cap in one band would be split in all bands
+    # and the b-band redundancy could never rescue it
     big = annotated.filter(F.col("bucket_size") > cfg.max_bucket_size).withColumn(
         "salt",
         F.pmod(
-            F.xxhash64("uid"),
+            F.xxhash64("uid", "band_id", "band_hash"),
             F.ceil(F.col("bucket_size") / F.lit(cfg.max_bucket_size)).cast("long"),
         ),
     )
@@ -190,7 +194,7 @@ def capped_bucket_report(
         salted = big.withColumn(
             "salt",
             F.pmod(
-                F.xxhash64("uid"),
+                F.xxhash64("uid", "band_id", "band_hash"),
                 F.ceil(F.col("bucket_size") / F.lit(cfg.max_bucket_size)).cast("long"),
             ),
         )
