@@ -38,12 +38,19 @@ def session_counts(
     """(user_id, n_events, n_sessions) per user appearing in ``events``."""
     gap_ivl = F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")
 
+    def gap_flag(prev_col, cur_col):
+        # the ONE definition of "new session": strictly more than gap_ivl
+        # since the previous event — both plans and the boundary check must
+        # share it or plain-vs-bucketed equivalence silently breaks
+        return F.when(
+            F.col(prev_col).isNotNull() & (F.col(cur_col) - F.col(prev_col) > gap_ivl),
+            1,
+        ).otherwise(0)
+
     if time_bucket is None:
         w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
         e = events.withColumn("_prev", F.lag(ts_col).over(w))
-        gap = F.when(
-            F.col("_prev").isNotNull() & (F.col(ts_col) - F.col("_prev") > gap_ivl), 1
-        ).otherwise(0)
+        gap = gap_flag("_prev", ts_col)
         return e.groupBy(user_col).agg(
             F.count("*").alias("n_events"),
             (F.lit(1) + F.sum(gap)).cast("long").alias("n_sessions"),
@@ -52,9 +59,7 @@ def session_counts(
     e = events.withColumn("_bkt", F.date_trunc(time_bucket, F.col(ts_col)))
     w_in = Window.partitionBy(user_col, "_bkt").orderBy(ts_col, order_col)
     e = e.withColumn("_prev", F.lag(ts_col).over(w_in))
-    gap_in = F.when(
-        F.col("_prev").isNotNull() & (F.col(ts_col) - F.col("_prev") > gap_ivl), 1
-    ).otherwise(0)
+    gap_in = gap_flag("_prev", ts_col)
     summ = e.groupBy(user_col, "_bkt").agg(
         F.count("*").alias("_n"),
         F.sum(gap_in).alias("_g"),
@@ -63,11 +68,7 @@ def session_counts(
     )
     w_b = Window.partitionBy(user_col).orderBy("_bkt")
     summ = summ.withColumn("_prev_last", F.lag("_last_ts").over(w_b))
-    boundary = F.when(
-        F.col("_prev_last").isNotNull()
-        & (F.col("_first_ts") - F.col("_prev_last") > gap_ivl),
-        1,
-    ).otherwise(0)
+    boundary = gap_flag("_prev_last", "_first_ts")
     return summ.groupBy(user_col).agg(
         F.sum("_n").cast("long").alias("n_events"),
         (F.lit(1) + F.sum(F.col("_g") + boundary)).cast("long").alias("n_sessions"),

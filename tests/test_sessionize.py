@@ -59,10 +59,9 @@ def test_sessionize_boundary_gap_vs_continuation(spark):
 
 
 def test_sessionize_hot_key_bucketed(spark):
-    """20k events on one user: bucketed session count equals the exact
-    closed form (events every 20 min -> one session per day boundary only
-    when the spacing exceeds the gap; here spacing 45 min > 30 min gap, so
-    every event starts a session)."""
+    """2,000 events on one user (the single-task-per-key hot shape):
+    spacing 2700 s (45 min) exceeds the 30-min gap, so every event starts
+    its own session — the bucketed count must match that closed form."""
     n = 2000
     e = spark.range(n).select(
         F.col("id").alias("event_id"),
