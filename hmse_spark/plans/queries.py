@@ -607,6 +607,59 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dup_clusters",
+    """
+    WITH RECURSIVE
+    u AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    near AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM u a JOIN u b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_inner_product(a.emb, b.emb) /
+            greatest(sqrt(list_inner_product(a.emb, a.emb)) *
+                     sqrt(list_inner_product(b.emb, b.emb)), 1e-30), 6) >= 0.9999
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM near UNION SELECT id_b, id_a FROM near
+    ),
+    walk AS (
+      SELECT vec_id AS id, vec_id AS label FROM u
+      UNION
+      SELECT w.id, e.id_b FROM walk w JOIN edges e ON e.id_a = w.label
+    )
+    SELECT CAST(id AS BIGINT) AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY id
+    """,
+)
+def q_embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS end to end — the embedding analogue of
+    near_dup_clusters' flagship oracle: planted exact copies (recall 1 by
+    construction through the hyperplane banding, see embedding_near_dups)
+    -> capped bucket joins -> cosine threshold -> distributed CC -> labels
+    for every vector, vs a brute-force pair set + recursive min-label walk
+    in DuckDB. Certifies the embedding dedup path including the skew caps
+    and the component labeling in one hash."""
+    from hmse_spark.operators import connected_components as cc
+    from hmse_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    allv = emb.unionByName(copies)
+    pairs = similarity.embedding_near_dup_pairs(allv, threshold=0.9999)
+    labels = cc.connected_components(pairs.select("id_a", "id_b"))
+    return cc.attach_singletons(
+        labels, allv.select("vec_id"), "vec_id"
+    ).withColumnRenamed("uid", "vec_id")
+
+
+@register(
     "natural_lang_id",
     lang_id_oracle_sql(LANG_MARKERS, "und", lowercase=True, alias="detected_lang"),
 )
