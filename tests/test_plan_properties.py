@@ -122,3 +122,36 @@ def test_query_output_is_run_deterministic(spark, name):
     fn = entrymod.queries()[name]
     a, b = canon(fn(spark, SF)), canon(fn(spark, SF))
     assert a.equals(b), f"{name} is not run-deterministic"
+
+
+def test_bucketed_asof_windows_partition_by_time_bucket(spark):
+    """The hot-key as-of plan's windows must actually partition by
+    (key, _bkt) — the whole point is |key x bucket| parallelism; a refactor
+    that quietly drops _bkt from the window spec re-serializes hot keys
+    while every correctness test still passes."""
+    from hmse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00")], "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(9, 1, "2024-01-01 09:00:00", 1.0)],
+        "rid long, user_id long, ts string, val double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = _optimized(asof_join(left, right, on="user_id", time_bucket="day"))
+    # the in-bucket forward-fill window partitions by (user_id, _bkt)
+    assert "windowspecdefinition(user_id" in plan and "_bkt" in plan.split(
+        "windowspecdefinition(user_id", 1
+    )[1].split(")")[0], plan
+
+
+def test_bucketed_sessionize_windows_partition_by_time_bucket(spark):
+    from hmse_spark.operators.sessionize import session_counts
+
+    e = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00")], "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = _optimized(session_counts(e, time_bucket="day"))
+    assert "windowspecdefinition(user_id" in plan and "_bkt" in plan.split(
+        "windowspecdefinition(user_id", 1
+    )[1].split(")")[0], plan
