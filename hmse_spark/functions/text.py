@@ -225,6 +225,49 @@ def lang_id_oracle_sql(
 # --- repeated word-n-gram mining --------------------------------------------
 
 
+def wordgram_col(text_col: str, n: int):
+    """array<string> of the text's word n-grams — ONE definition shared by
+    the repeated-sequence miner and the decontaminator (split -> per-position
+    slice+join, pure column expressions, no Python)."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    n_words = F.size(words)
+    return F.when(
+        n_words >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_words - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word ``n``-gram
+    with the benchmark set, with the count of distinct shared grams — the
+    standard pre-training hygiene pass (drop training docs that leak
+    eval/benchmark content).
+
+    Scale shape: a benchmark is SMALL by construction, so its distinct gram
+    table ships as an explicit ``F.broadcast`` — the corpus side explodes
+    grams and broadcast-joins without shuffling a single corpus row; the
+    per-doc aggregate is the only exchange, on the (already filtered,
+    contaminated-only) doc ids."""
+    bgrams = benchmark.select(
+        F.explode(wordgram_col(text_col, n)).alias("gram")
+    ).distinct()
+    cg = corpus.select(F.col(id_col), F.explode(wordgram_col(text_col, n)).alias("gram"))
+    return (
+        cg.join(F.broadcast(bgrams), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+    )
+
+
 def repeated_wordgrams(
     df: DataFrame,
     n: int = 5,
@@ -241,17 +284,9 @@ def repeated_wordgrams(
     per doc, no Python) -> explode -> ONE groupBy on the gram string. At
     corpus scale the groupBy key distribution is zipfian; the aggregate is
     partial+final so hot grams combine map-side before the exchange."""
-    t = F.col(text_col)
-    words = F.filter(F.split(t, " "), lambda x: x != F.lit(""))
-    n_words = F.size(words)
-    grams = F.when(
-        n_words >= n,
-        F.transform(
-            F.sequence(F.lit(1), n_words - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    exploded = df.select(
+        F.col(id_col), F.explode(wordgram_col(text_col, n)).alias("gram")
+    )
     return (
         exploded.groupBy("gram")
         .agg(

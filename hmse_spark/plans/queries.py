@@ -1183,6 +1183,41 @@ def q_repeated_wordgram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "benchmark_decontamination",
+    """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(ws) - 7, 0)),
+               i -> array_to_string(ws[i:i+7], ' '))) AS gram
+      FROM w
+    ), bg AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0
+    )
+    SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_shared_grams
+    FROM g JOIN bg USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/text.py::decontaminate): flag
+    corpus docs sharing any word-8-gram with a benchmark set — here a
+    deterministic synthetic benchmark (every 37th doc), the standard
+    pre-training hygiene pass. The benchmark gram table ships as an explicit
+    broadcast (test_plan_properties asserts no corpus shuffle before the
+    join); oracled against DuckDB's list-based gram intersection."""
+    from hmse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 37 == 0)
+    return T.decontaminate(docs, benchmark, n=8)
+
+
+@register(
     "ngram_containment_pairs",
     """
     WITH docs AS (

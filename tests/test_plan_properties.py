@@ -155,3 +155,19 @@ def test_bucketed_sessionize_windows_partition_by_time_bucket(spark):
     assert "windowspecdefinition(user_id" in plan and "_bkt" in plan.split(
         "windowspecdefinition(user_id", 1
     )[1].split(")")[0], plan
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark):
+    """The benchmark gram table must reach the join as a broadcast — a
+    shuffled corpus-side join here would move every corpus gram through an
+    exchange for what is by construction a small reference set."""
+    docs = load_table(spark, SF, "documents")
+    from hmse_spark.functions.text import decontaminate
+
+    out = decontaminate(docs, docs.filter(F.col("doc_id") % 37 == 0), n=8)
+    plan = _physical(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+    # and the corpus side must NOT be exchanged before that join: the only
+    # exchange in the plan belongs to the final per-doc aggregate
+    pre_join = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning(gram" not in pre_join, plan

@@ -376,3 +376,24 @@ def test_repeated_wordgrams(spark):
     out = {r["gram"]: (r["n_docs"], r["n_occurrences"]) for r in
            T.repeated_wordgrams(df, n=5, min_docs=3).collect()}
     assert out == {shared: (3, 3)}
+
+
+def test_decontaminate_flags_exact_and_partial_leaks(spark):
+    """Docs containing a benchmark 8-gram are flagged with the exact count
+    of distinct shared grams; clean docs are absent."""
+    from hmse_spark.functions.text import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, bench_text),                       # the benchmark doc itself
+        (2, "prefix words here " + bench_text),  # full containment
+        (3, "alpha beta gamma delta epsilon zeta eta theta unrelated tail"),
+        (4, "totally unrelated content with enough words to form grams ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter(F.col("doc_id") == 1)
+    got = {r["doc_id"]: r["n_shared_grams"]
+           for r in decontaminate(df, bench, n=8).collect()}
+    # bench doc: 3 grams, all shared; doc 2 contains all 3; doc 3 shares
+    # exactly the first 8-word gram; doc 4 clean
+    assert got == {1: 3, 2: 3, 3: 1}
