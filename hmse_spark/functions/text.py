@@ -268,6 +268,38 @@ def decontaminate(
     )
 
 
+def strip_repeated_lines(
+    df: DataFrame,
+    min_docs: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style boilerplate removal: delete every line that appears in
+    >= ``min_docs`` distinct documents, reassemble each document's remaining
+    lines in order; documents with no surviving lines are dropped.
+
+    Scale shape: posexplode (narrow) -> ONE partial+final count-distinct
+    aggregate on the line -> join back on the line (AQE skew-join handles
+    zipfian boilerplate lines) -> per-doc ordered reassembly via
+    array_sort(collect_list(struct(pos, line))) — the struct sorts by pos
+    first, so order is exact without a window."""
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    )
+    counts = lines.groupBy("line").agg(F.countDistinct(id_col).alias("_nd"))
+    kept = lines.join(counts, "line").filter(F.col("_nd") < min_docs)
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("clean_text")
+    )
+
+
 def repeated_wordgrams(
     df: DataFrame,
     n: int = 5,

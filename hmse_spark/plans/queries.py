@@ -1218,6 +1218,62 @@ def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "boilerplate_line_removal",
+    """
+    WITH docs AS (
+      -- plant a boilerplate footer line on every 3rd doc (the testdata text
+      -- is single-line, so the repeated line is synthesized deterministically
+      -- in BOTH engines, like the planted-copy embedding oracles)
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || chr(10) || 'subscribe to our newsletter for updates'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    counts AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS nd
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM docs)
+      GROUP BY line
+    ),
+    rep AS (
+      SELECT coalesce(list(line), []) AS lines FROM counts WHERE nd >= 20
+    ),
+    cleaned AS (
+      -- rep is one row; the cross join puts `lines` in lambda scope
+      -- (DuckDB rejects subqueries inside lambdas)
+      SELECT d.doc_id,
+             list_filter(string_split(d.text, chr(10)),
+                         x -> NOT list_contains(r.lines, x)) AS kept
+      FROM docs d CROSS JOIN rep r
+    )
+    SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text
+    FROM cleaned WHERE len(kept) > 0
+    """,
+)
+def q_boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-line (boilerplate) removal, C4-style
+    (functions/text.py::strip_repeated_lines): lines appearing in >= 20
+    distinct docs are stripped, docs reassembled in order. A footer line is
+    planted on every 3rd doc in both engines; the oracle certifies the
+    line counting, the removal threshold, AND the ordered reassembly."""
+    from hmse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nsubscribe to our newsletter for updates"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return T.strip_repeated_lines(docs, min_docs=20)
+
+
+@register(
     "ngram_containment_pairs",
     """
     WITH docs AS (

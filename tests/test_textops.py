@@ -397,3 +397,26 @@ def test_decontaminate_flags_exact_and_partial_leaks(spark):
     # bench doc: 3 grams, all shared; doc 2 contains all 3; doc 3 shares
     # exactly the first 8-word gram; doc 4 clean
     assert got == {1: 3, 2: 3, 3: 1}
+
+
+def test_strip_repeated_lines_order_and_drop(spark):
+    """Boilerplate lines (>= min_docs docs) are removed, line order is
+    preserved exactly, in-doc duplicate lines below the threshold survive
+    both occurrences, and all-boilerplate docs are dropped."""
+    from hmse_spark.functions.text import strip_repeated_lines
+
+    bp = "follow us on social media"
+    rows = [
+        (1, f"first line\n{bp}\nsecond line\nsecond line"),
+        (2, f"{bp}\nunique content here"),
+        (3, bp),                      # all boilerplate -> dropped
+        (4, "totally clean doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["clean_text"]
+           for r in strip_repeated_lines(df, min_docs=3).collect()}
+    assert got == {
+        1: "first line\nsecond line\nsecond line",
+        2: "unique content here",
+        4: "totally clean doc",
+    }
