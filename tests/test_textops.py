@@ -420,3 +420,27 @@ def test_strip_repeated_lines_order_and_drop(spark):
         2: "unique content here",
         4: "totally clean doc",
     }
+
+
+def test_strip_repeated_lines_identity_and_idempotent(spark):
+    """Below the threshold the op is the identity (every doc returned,
+    text unchanged); and stripping twice at the same threshold equals
+    stripping once (the removed lines are gone, so no count can re-cross
+    the threshold)."""
+    from hmse_spark.functions.text import strip_repeated_lines
+
+    bp = "shared footer line"
+    rows = [(i, f"body {i} alpha\n{bp}\nbody {i} omega") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ident = {r["doc_id"]: r["clean_text"]
+             for r in strip_repeated_lines(df, min_docs=7).collect()}
+    assert ident == {i: f"body {i} alpha\n{bp}\nbody {i} omega" for i in range(6)}
+
+    once = strip_repeated_lines(df, min_docs=6)
+    twice = strip_repeated_lines(
+        once.withColumnRenamed("clean_text", "text"), min_docs=6
+    )
+    a = {r["doc_id"]: r["clean_text"] for r in once.collect()}
+    b = {r["doc_id"]: r["clean_text"] for r in twice.collect()}
+    assert a == b == {i: f"body {i} alpha\nbody {i} omega" for i in range(6)}
