@@ -300,6 +300,65 @@ def strip_repeated_lines(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    token_budget: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sample packing for training batches: assign each doc to a fixed
+    token-budget pack via offset binning — pack = floor(start_offset /
+    budget) where start_offset is the cumulative token count of preceding
+    docs in the shard. Bins can overflow by less than one doc (the standard
+    approximate-packing trade; exact first-fit is sequential and
+    unparallelizable by construction).
+
+    Scale shape: shard = pmod(id, n_shards) — every shard packs
+    independently (ONE window exchange, |n_shards| parallel partitions,
+    never a global single-partition window); within a shard docs pack in
+    id order, so output is deterministic."""
+    from pyspark.sql import Window
+
+    n_tok = whitespace_token_count(text_col)
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(
+        F.col(id_col), shard.alias("shard"), n_tok.alias("n_tokens")
+    ).withColumn("_cum", F.sum("n_tokens").over(w))
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(token_budget))
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_pct: dict,
+    default_pct: int = 0,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling for training-mixture weighting:
+    keep a doc iff ``id % 100 < rates_pct[stratum]``. Production would salt
+    a hash of the id instead of the raw modulo; the modulo keeps the
+    selection exactly reproducible across engines (the DuckDB oracle runs
+    the same arithmetic), which is the property the correctness gate needs.
+    Pure column expressions — the filter pushes into the scan."""
+    rate = F.lit(default_pct)
+    for k, v in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    return df.filter(F.pmod(F.col(id_col), F.lit(100)) < rate)
+
+
 def repeated_wordgrams(
     df: DataFrame,
     n: int = 5,

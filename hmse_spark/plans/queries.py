@@ -1218,6 +1218,56 @@ def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(doc_id % 8 AS INT) AS shard,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS INT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0)
+                AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample packing (functions/text.py::pack_sequences): docs assigned to
+    fixed 2048-token packs via per-shard cumulative offset binning — the
+    training-batch packing pass, parallel across shards (never a global
+    single-partition window). Oracled against the identical window SQL."""
+    from hmse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return T.pack_sequences(docs, token_budget=2048, n_shards=8)
+
+
+@register(
+    "stratified_mixture_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE doc_id % 100 < CASE lang
+        WHEN 'en' THEN 60 WHEN 'de' THEN 30 WHEN 'fr' THEN 30 ELSE 10 END
+    """,
+)
+def q_stratified_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (functions/text.py::
+    stratified_sample): per-language keep rates for training-mixture
+    weighting, reproducible across engines by construction (modulo
+    selection; production salts a hash — see docstring)."""
+    from hmse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return T.stratified_sample(
+        docs, {"en": 60, "de": 30, "fr": 30}, default_pct=10
+    )
+
+
+@register(
     "boilerplate_line_removal",
     """
     WITH docs AS (

@@ -444,3 +444,38 @@ def test_strip_repeated_lines_identity_and_idempotent(spark):
     a = {r["doc_id"]: r["clean_text"] for r in once.collect()}
     b = {r["doc_id"]: r["clean_text"] for r in twice.collect()}
     assert a == b == {i: f"body {i} alpha\nbody {i} omega" for i in range(6)}
+
+
+def test_pack_sequences_budget_and_order(spark):
+    """Packs are contiguous in id order per shard, every pack's START
+    offset is below the budget boundary it was binned into, and the
+    overflow of any pack is bounded by one doc."""
+    from hmse_spark.functions.text import pack_sequences
+
+    rows = [(i, "word " * (50 * (1 + i % 4))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, token_budget=300, n_shards=4).collect()
+    assert len(out) == 40
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, docs in by_shard.items():
+        cum = 0
+        prev_pack = 0
+        for r in docs:
+            assert r["pack_id"] == cum // 300  # offset binning, exact
+            assert r["pack_id"] >= prev_pack   # packs never go backwards
+            prev_pack = r["pack_id"]
+            cum += r["n_tokens"]
+
+
+def test_stratified_sample_rates(spark):
+    from hmse_spark.functions.text import stratified_sample
+
+    rows = [(i, ["en", "de", "xx"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_sample(df, {"en": 50, "de": 20}, default_pct=0).collect()
+    assert all(r["doc_id"] % 100 < (50 if r["lang"] == "en" else 20) for r in got)
+    assert not any(r["lang"] == "xx" for r in got)
+    # en stratum: ids i%3==0 with i%100<50 -> exactly 50 of them
+    assert sum(1 for r in got if r["lang"] == "en") == 50
