@@ -260,11 +260,17 @@ def decontaminate(
     bgrams = benchmark.select(
         F.explode(wordgram_col(text_col, n)).alias("gram")
     ).distinct()
-    cg = corpus.select(F.col(id_col), F.explode(wordgram_col(text_col, n)).alias("gram"))
+    # per-doc array_distinct BEFORE the explode: a spammy doc repeating one
+    # gram 10k times would otherwise probe the join 10k times and force a
+    # countDistinct shuffle; deduped, the aggregate is a plain count
+    cg = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(wordgram_col(text_col, n))).alias("gram"),
+    )
     return (
         cg.join(F.broadcast(bgrams), "gram")
         .groupBy(id_col)
-        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .agg(F.count("gram").alias("n_shared_grams"))
     )
 
 
@@ -284,8 +290,14 @@ def strip_repeated_lines(
     zipfian boilerplate lines) -> per-doc ordered reassembly via
     array_sort(collect_list(struct(pos, line))) — the struct sorts by pos
     first, so order is exact without a window."""
+    # F.split takes a Java REGEX; quote the separator so a literal "|" or
+    # "." splits literally (array_join below is literal — the contract must
+    # be symmetric). \Q..\E is Java's Pattern.quote form.
     lines = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
+            "pos", "line"
+        ),
     )
     counts = lines.groupBy("line").agg(F.countDistinct(id_col).alias("_nd"))
     kept = lines.join(counts, "line").filter(F.col("_nd") < min_docs)
@@ -348,10 +360,12 @@ def stratified_sample(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Deterministic per-stratum sampling for training-mixture weighting:
-    keep a doc iff ``id % 100 < rates_pct[stratum]``. Production would salt
-    a hash of the id instead of the raw modulo; the modulo keeps the
-    selection exactly reproducible across engines (the DuckDB oracle runs
-    the same arithmetic), which is the property the correctness gate needs.
+    keep a doc iff ``pmod(id, 100) < rates_pct[stratum]``. Production would
+    salt a hash of the id instead of the raw modulo; the modulo keeps the
+    selection exactly reproducible across engines, which is the property
+    the correctness gate needs. NOTE pmod semantics: negative ids map to
+    [0, 100) — a DuckDB oracle must use ``((id % 100) + 100) % 100``, not
+    bare ``%`` (which is negative for negative ids).
     Pure column expressions — the filter pushes into the scan."""
     rate = F.lit(default_pct)
     for k, v in sorted(rates_pct.items()):

@@ -1250,7 +1250,9 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang
     FROM documents
-    WHERE doc_id % 100 < CASE lang
+    -- pmod form: matches Spark's pmod for NEGATIVE ids too (bare % would
+    -- silently diverge off the non-negative testdata)
+    WHERE ((doc_id % 100) + 100) % 100 < CASE lang
         WHEN 'en' THEN 60 WHEN 'de' THEN 30 WHEN 'fr' THEN 30 ELSE 10 END
     """,
 )

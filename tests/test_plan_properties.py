@@ -139,10 +139,13 @@ def test_bucketed_asof_windows_partition_by_time_bucket(spark):
         "rid long, user_id long, ts string, val double",
     ).withColumn("ts", F.to_timestamp("ts"))
     plan = _optimized(asof_join(left, right, on="user_id", time_bucket="day"))
-    # the in-bucket forward-fill window partitions by (user_id, _bkt)
-    assert "windowspecdefinition(user_id" in plan and "_bkt" in plan.split(
-        "windowspecdefinition(user_id", 1
-    )[1].split(")")[0], plan
+    # the in-bucket forward-fill window must carry _bkt as a PARTITION
+    # column — "_bkt#N," with no ASC/DESC. Matching any windowspecdefinition
+    # containing _bkt would be vacuous: the cross-bucket carry window ORDERS
+    # by _bkt ("_bkt#N ASC"), so it matches even after the regression.
+    import re as _re
+
+    assert _re.search(r"windowspecdefinition\(user_id#\d+L?, _bkt#\d+,", plan), plan
 
 
 def test_bucketed_sessionize_windows_partition_by_time_bucket(spark):
@@ -152,9 +155,9 @@ def test_bucketed_sessionize_windows_partition_by_time_bucket(spark):
         [(1, 1, "2024-01-01 10:00:00")], "event_id long, user_id long, ts string"
     ).withColumn("ts", F.to_timestamp("ts"))
     plan = _optimized(session_counts(e, time_bucket="day"))
-    assert "windowspecdefinition(user_id" in plan and "_bkt" in plan.split(
-        "windowspecdefinition(user_id", 1
-    )[1].split(")")[0], plan
+    import re as _re
+
+    assert _re.search(r"windowspecdefinition\(user_id#\d+L?, _bkt#\d+,", plan), plan
 
 
 def test_decontamination_broadcasts_benchmark_grams(spark):
