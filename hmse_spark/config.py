@@ -47,6 +47,18 @@ class PipelineConfig:
     # L4 LSH banding (README.md:1987-1996)
     num_bands: int = 4
     rows_per_band: int = 32
+    # Stratified banding for SHORT documents (an engine extension; the
+    # frozen reference b=4/r=32 config stays the core): docs under this many
+    # bytes additionally emit b=16/r=8 bands over the SAME 128 sig values
+    # (band ids 4..19). At b=4/r=32 a 0.92-Jaccard pair is a ~45% coin flip
+    # and 50-byte anchors cannot exist in a 60-byte doc — measured misses on
+    # tiny near-dup docs; at b=16/r=8 banding recall is >= 0.993 at J=0.85.
+    # Candidates are exact-verified afterwards, so precision is unchanged;
+    # dense-band buckets go through the same hub/salt caps. None disables
+    # (the chunk store pins this to None: chunk-level L4 is the reference's
+    # frozen config and the dedup-ratio fixture is calibrated to it).
+    short_doc_band_bytes: int | None = 256
+    short_doc_bands: int = 16
 
     # Similarity / delta (README.md:373-377, 1328, 2174-2175)
     jaccard_threshold: float = 0.85   # high-confidence regime s >= 0.85

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hmse_spark.config import DEFAULT, PipelineConfig
-from hmse_spark.operators.minhash import band_hash_batch, minhash_batch
+from hmse_spark.operators.minhash import assemble_bands, minhash_batch
 from hmse_spark.operators.simhash import simhash_bands, simhash_batch
 from hmse_spark.operators.suffix import anchor_fingerprints
 
@@ -88,9 +88,9 @@ def make_fused_udf(
             sets = [shingle_set_u32(c, ecfg.shingle_k) for c in contents]
         if want_min:
             sig = minhash_batch(contents, ecfg, sets=sets)
-            bands = band_hash_batch(sig, ecfg)
+            bands = assemble_bands(sig, [len(c) for c in contents], ecfg)
             out["sig"] = list(sig.view(np.int32).reshape(sig.shape))
-            out["bands"] = list(bands)
+            out["bands"] = bands
         else:
             out["sig"] = [None] * n
             out["bands"] = [None] * n

@@ -107,6 +107,42 @@ def band_hash_batch(sig: np.ndarray, cfg: PipelineConfig = DEFAULT) -> np.ndarra
     return out
 
 
+def dense_band_hash_batch(sig: np.ndarray, cfg: PipelineConfig = DEFAULT) -> np.ndarray:
+    """(n_units, short_doc_bands) int64 DENSE band hashes (b=16/r=8 default)
+    over the same signature — the short-doc stratum's extra banding. Seeds
+    continue after the main bands (num_bands + b) so a dense band never
+    structurally collides with a main band even before the band_id key."""
+    n = sig.shape[0]
+    nb = cfg.short_doc_bands
+    r = cfg.num_hashes // nb
+    out = np.empty((n, nb), dtype=np.int64)
+    for b in range(nb):
+        out[:, b] = mm3_u32_blocks(
+            sig[:, b * r : (b + 1) * r], seed=cfg.num_bands + b
+        ).astype(np.int64)
+    return out
+
+
+def assemble_bands(
+    sig: np.ndarray, lengths: list, cfg: PipelineConfig = DEFAULT
+) -> list:
+    """Per-doc band list: the frozen b=4/r=32 bands, plus the dense bands
+    for docs shorter than cfg.short_doc_band_bytes (ragged — posexplode
+    band_ids stay positional: 0..3 main, 4..19 dense)."""
+    main = band_hash_batch(sig, cfg)
+    thr = cfg.short_doc_band_bytes
+    if thr is None:
+        return list(main)
+    short = [i for i, ln in enumerate(lengths) if ln < thr]
+    if not short:
+        return list(main)
+    dense = dense_band_hash_batch(sig[short], cfg)
+    out = list(main)
+    for k, i in enumerate(short):
+        out[i] = np.concatenate([main[i], dense[k]])
+    return out
+
+
 SIG_SCHEMA = "struct<sig: array<int>, bands: array<long>>"
 
 
@@ -121,11 +157,9 @@ def make_signature_udf(cfg: PipelineConfig = DEFAULT):
             for c in content
         ]
         sig = minhash_batch(contents, cfg)
-        bands = band_hash_batch(sig, cfg)
+        bands = assemble_bands(sig, [len(c) for c in contents], cfg)
         sig_i32 = sig.view(np.int32).reshape(sig.shape)
-        return pd.DataFrame(
-            {"sig": list(sig_i32), "bands": list(bands)}
-        )
+        return pd.DataFrame({"sig": list(sig_i32), "bands": bands})
 
     return minhash_signature
 

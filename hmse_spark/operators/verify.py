@@ -95,6 +95,52 @@ def exact_verified_pairs(
     return out.filter(F.col("jaccard") >= F.lit(threshold))
 
 
+def short_doc_containment_candidates(
+    units: DataFrame,
+    id_col: str = "file_id",
+    content_col: str = "content",
+    cfg=None,
+    n_words: int = 5,
+) -> DataFrame:
+    """Containment candidates for docs SHORTER than the CDC rolling window
+    — the anchor path's hard floor: a 53-byte doc can never share a
+    content-defined anchor, because the 64-byte rolling hash window reads
+    past its end, so its anchor values depend on bytes the containing doc
+    does not reproduce. And at high containment with a large size ratio the
+    symmetric Jaccard is tiny, so no banding density can fire either.
+
+    Word-n-gram equi-join instead: the tiny docs' distinct word grams
+    against the corpus gram table (the repeated_wordgram_mining explode
+    shape — linear rows, zipfian key), hub-capped per gram like the anchor
+    buckets. Output is (id_a, id_b) candidates with a tiny doc on >= one
+    side; always exact-verified downstream, so extra candidates only cost
+    the bounded verify join."""
+    from pyspark.sql import Window
+
+    from hmse_spark.config import DEFAULT as _D
+    from hmse_spark.functions.text import wordgram_col
+
+    cfg = cfg or _D
+    floor = cfg.cdc_window
+    grams = units.select(
+        F.col(id_col).alias("uid"),
+        F.octet_length(content_col).alias("_len"),
+        F.explode(F.array_distinct(wordgram_col(content_col, n_words))).alias("g"),
+    )
+    tiny = grams.filter(F.col("_len") < floor).select("uid", "g")
+    w = Window.partitionBy("g")
+    ann = grams.select("uid", "g").withColumn("n", F.count("*").over(w)).filter(
+        F.col("n") <= cfg.max_bucket_size
+    )
+    return (
+        ann.select("g", F.col("uid").alias("id_b"))
+        .join(tiny.select("g", F.col("uid").alias("id_a")), "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b"))
+        .distinct()
+    )
+
+
 def containment_pairs(
     pairs: DataFrame,
     units: DataFrame,

@@ -134,7 +134,13 @@ def build_chunk_store(
         )
 
     # ---- L4: near-dup clustering over unique chunks ------------------------
-    sigs = minhash.add_signatures(uniq, "chunk_bytes", cfg).select(
+    # chunk-level L4 keeps the reference's FROZEN b=4/r=32 banding exactly
+    # (no short-doc dense bands): the dedup-ratio fixture (9.371:1) is
+    # calibrated to this config and chunk semantics are reference parity
+    import dataclasses as _dc
+
+    chunk_cfg = _dc.replace(cfg, short_doc_band_bytes=None)
+    sigs = minhash.add_signatures(uniq, "chunk_bytes", chunk_cfg).select(
         "chunk_uid", "chunk_sha", "sig", "bands"
     )
     pairs = lsh.candidate_pairs(lsh.explode_bands(sigs, "chunk_uid"), cfg)

@@ -1360,9 +1360,18 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor floor) — then exact-containment verified. A contained doc is
     synthesized (each of docs 0-4 inside filler) because the testdata has no
     natural containment pairs. The oracle brute-forces ALL pairs with
-    containment >= 0.9, so the match certifies the two-path candidate net
+    containment >= 0.9, so the match certifies the three-path candidate net
     has recall 1 on this corpus (anchor-only measured 19/30 here — the
-    union is what closes it)."""
+    union is what closes it).
+
+    Candidate-reach boundary (measured at sf0.001): two 53-byte docs with
+    92% 4-gram-SET containment in ~515-byte docs but a longest common word
+    run of TWO — bag-of-grams containment with no shared run — sit outside
+    every run-based signal (anchors need a 64-byte window, word grams need
+    a verbatim 5-word run, banding needs symmetric Jaccard). Exact recall
+    for that shape requires a corpus-wide shingle inverted index with
+    prefix filtering (an n_bytes-row shuffle; SSJoin/PPJoin family) —
+    a documented non-goal at this threshold."""
     import dataclasses
 
     from hmse_spark.config import DEFAULT
@@ -1396,7 +1405,13 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_cands = lsh.candidate_pairs(lsh.explode_bands(sigs, "file_id")).select(
         "id_a", "id_b"
     )
-    cands = anchor_cands.unionByName(band_cands).distinct()
+    # third source: docs shorter than the CDC window can never share
+    # content-defined anchors (the rolling window reads past their end) and
+    # their containment Jaccard is tiny — word-gram candidates close that
+    # stratum (measured: two 53-byte docs 92%-contained in ~515-byte docs
+    # slipped both other nets)
+    tiny_cands = verify.short_doc_containment_candidates(docs)
+    cands = anchor_cands.unionByName(band_cands).unionByName(tiny_cands).distinct()
     return verify.containment_pairs(cands, docs, threshold=0.9)
 
 

@@ -13,24 +13,27 @@ from __future__ import annotations
 import numpy as np
 
 from hmse_spark.config import DEFAULT, PipelineConfig
-from hmse_spark.operators.minhash import band_hash_batch, minhash_batch
+from hmse_spark.operators.minhash import assemble_bands, minhash_batch
 
 
 def ref_signatures(contents: list[bytes], cfg: PipelineConfig = DEFAULT):
     sig = minhash_batch(contents, cfg)
-    bands = band_hash_batch(sig, cfg)
+    bands = assemble_bands(sig, [len(c) for c in contents], cfg)  # ragged
     return sig, bands
 
 
-def ref_candidate_pairs(bands: np.ndarray, ids: list[int]) -> set[tuple[int, int]]:
-    """All (id_a < id_b) pairs sharing any band hash — the uncapped
-    quadratic expansion (ground truth for the capped Spark variant)."""
+def ref_candidate_pairs(bands, ids: list[int]) -> set[tuple[int, int]]:
+    """All (id_a < id_b) pairs sharing any (band_id, band_hash) — the
+    uncapped quadratic expansion (ground truth for the capped Spark
+    variant). ``bands`` may be ragged (short docs carry dense bands at
+    positions 4..19); position == band_id, matching posexplode."""
     pairs: set[tuple[int, int]] = set()
-    n_bands = bands.shape[1]
+    n_bands = max(len(b) for b in bands)
     for b in range(n_bands):
         buckets: dict[int, list[int]] = {}
-        for i, h in enumerate(bands[:, b]):
-            buckets.setdefault(int(h), []).append(i)
+        for i, row in enumerate(bands):
+            if b < len(row):
+                buckets.setdefault(int(row[b]), []).append(i)
         for members in buckets.values():
             for x in range(len(members)):
                 for y in range(x + 1, len(members)):

@@ -30,7 +30,12 @@ def test_chunk_level_l4_matches_reference(spark):
     shas = sorted(chunk_bytes)
     contents = [chunk_bytes[s] for s in shas]
     ids = list(range(len(shas)))
-    sig, bands = ref.ref_signatures(contents)
+    # chunk-level L4 = the FROZEN reference banding (no short-doc dense
+    # bands), exactly as build_chunk_store pins it
+    import dataclasses
+
+    chunk_cfg = dataclasses.replace(DEFAULT, short_doc_band_bytes=None)
+    sig, bands = ref.ref_signatures(contents, chunk_cfg)
     ref_pairs = ref.ref_candidate_pairs(bands, ids)
     ref_ver = ref.ref_verified_pairs(sig, ref_pairs, ids, DEFAULT.jaccard_threshold)
     ref_ver_shas = {(shas[a], shas[b]) for a, b in ref_ver}
@@ -55,7 +60,9 @@ def test_chunk_level_l4_matches_reference(spark):
         .select("chunk_sha", "chunk_bytes")
         .withColumn("chunk_uid", F.xxhash64("chunk_sha"))
     )
-    sigs = minhash.add_signatures(uniq, "chunk_bytes").select("chunk_uid", "chunk_sha", "sig", "bands")
+    sigs = minhash.add_signatures(uniq, "chunk_bytes", chunk_cfg).select(
+        "chunk_uid", "chunk_sha", "sig", "bands"
+    )
     pairs = lsh.candidate_pairs(lsh.explode_bands(sigs, "chunk_uid"))
     ver = verify.verified_pairs(pairs, sigs, "chunk_uid")
     uid_to_sha = {r["chunk_uid"]: r["chunk_sha"] for r in sigs.select("chunk_uid", "chunk_sha").collect()}

@@ -184,3 +184,24 @@ def test_containment_pairs_find_superstring_dups(spark):
     assert c > 0.95 and j < 0.85  # containment fires where Jaccard can't
     ver = verify.exact_verified_pairs(cands, df)
     assert (1, 2) not in {(r["id_a"], r["id_b"]) for r in ver.collect()}
+
+
+def test_short_doc_containment_candidates(spark):
+    """A doc shorter than the CDC window (64 B) pasted VERBATIM inside a
+    large doc: anchors cannot exist for it (the rolling window reads past
+    its end) and symmetric Jaccard is tiny — the word-gram source must
+    produce the candidate pair."""
+    from hmse_spark.operators import verify
+
+    snippet = "tiny pasted snippet with seven words here"
+    assert len(snippet) < 64
+    rows = [
+        (1, snippet),
+        (2, ("filler words before the paste " * 20) + snippet + (" trailing filler" * 10)),
+        (3, "completely unrelated large document body " * 20),
+    ]
+    df = spark.createDataFrame(rows, "file_id long, content string")
+    got = {(r["id_a"], r["id_b"])
+           for r in verify.short_doc_containment_candidates(df).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
