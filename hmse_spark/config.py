@@ -50,9 +50,10 @@ class PipelineConfig:
     # Stratified banding for SHORT documents (an engine extension; the
     # frozen reference b=4/r=32 config stays the core): docs under this many
     # bytes additionally emit b=16/r=8 bands over the SAME 128 sig values
-    # (band ids 4..19). At b=4/r=32 a 0.92-Jaccard pair is a ~45% coin flip
-    # and 50-byte anchors cannot exist in a 60-byte doc — measured misses on
-    # tiny near-dup docs; at b=16/r=8 banding recall is >= 0.993 at J=0.85.
+    # (band ids 4..19). At b=4/r=32 a 0.92-Jaccard pair has only ~25%
+    # candidate probability (1-(1-0.92^32)^4), and 50-byte anchors cannot
+    # exist in a 60-byte doc — measured misses on real tiny near-dup pairs;
+    # at b=16/r=8 banding recall is >= 0.993 at J=0.85.
     # Candidates are exact-verified afterwards, so precision is unchanged;
     # dense-band buckets go through the same hub/salt caps. None disables
     # (the chunk store pins this to None: chunk-level L4 is the reference's

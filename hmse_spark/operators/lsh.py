@@ -86,21 +86,29 @@ def candidate_pairs(
     small_pairs = a.join(b, ["band_id", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
 
     big = annotated.filter(F.col("bucket_size") > cfg.max_bucket_size)
-    hubs = big.groupBy("band_id", "band_hash").agg(F.min("uid").alias("hub"))
+    # the hub star's soundness argument is r=32 purity (bucket membership
+    # means a full 32-value band matched, so members are near-certain dups
+    # of each other and the star loses no true edge after verification).
+    # DENSE short-doc bands (ids >= num_bands) are r=8 — an oversized dense
+    # bucket can hold J~0.6 templated families whose member-member edges a
+    # star would silently drop; those buckets always use the salt split,
+    # which keeps within-group direct pairs.
+    big_main = big.filter(F.col("band_id") < cfg.num_bands)
+    big_dense = big.filter(F.col("band_id") >= cfg.num_bands)
+    hubs = big_main.groupBy("band_id", "band_hash").agg(F.min("uid").alias("hub"))
     big_pairs = (
-        big.join(hubs, ["band_id", "band_hash"])
+        big_main.join(hubs, ["band_id", "band_hash"])
         .filter(F.col("uid") != F.col("hub"))
         .select(
             F.least("uid", "hub").alias("id_a"),
             F.greatest("uid", "hub").alias("id_b"),
-            "band_id",
-            "band_hash",
         )
     )
 
     return (
         small_pairs.select("id_a", "id_b")
-        .unionByName(big_pairs.select("id_a", "id_b"))
+        .unionByName(big_pairs)
+        .unionByName(_salted_big_pairs(big_dense, cfg))
         .distinct()
     )
 
@@ -131,11 +139,20 @@ def salted_candidate_pairs(
     b = small.select("band_id", "band_hash", F.col("uid").alias("id_b"))
     small_pairs = a.join(b, ["band_id", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
 
-    # the bucket key is folded into the salt hash: a uid-only salt would
-    # put a uid into the same group in EVERY band (n_groups being equal),
-    # so a pair split by the cap in one band would be split in all bands
-    # and the b-band redundancy could never rescue it
-    big = annotated.filter(F.col("bucket_size") > cfg.max_bucket_size).withColumn(
+    salted = _salted_big_pairs(
+        annotated.filter(F.col("bucket_size") > cfg.max_bucket_size), cfg
+    )
+    return small_pairs.select("id_a", "id_b").unionByName(salted).distinct()
+
+
+def _salted_big_pairs(big: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Salted pair generation over OVERSIZED buckets: within-salt-group
+    direct pairs + group-min -> bucket-min links (one connected component
+    per bucket). The bucket key is folded into the salt hash: a uid-only
+    salt would put a uid into the same group in EVERY band (n_groups being
+    equal), so a pair split by the cap in one band would be split in all
+    bands and the b-band redundancy could never rescue it."""
+    big = big.withColumn(
         "salt",
         F.pmod(
             F.xxhash64("uid", "band_id", "band_hash"),
@@ -147,7 +164,6 @@ def salted_candidate_pairs(
     salted_within = sa.join(sb, ["band_id", "band_hash", "salt"]).filter(
         F.col("id_a") < F.col("id_b")
     )
-    # connect salt groups: each group's min uid pairs with the bucket min
     group_min = big.groupBy("band_id", "band_hash", "salt").agg(F.min("uid").alias("gmin"))
     bucket_min = big.groupBy("band_id", "band_hash").agg(F.min("uid").alias("bmin"))
     links = (
@@ -157,12 +173,7 @@ def salted_candidate_pairs(
             F.least("gmin", "bmin").alias("id_a"), F.greatest("gmin", "bmin").alias("id_b")
         )
     )
-    return (
-        small_pairs.select("id_a", "id_b")
-        .unionByName(salted_within.select("id_a", "id_b"))
-        .unionByName(links)
-        .distinct()
-    )
+    return salted_within.select("id_a", "id_b").unionByName(links)
 
 
 def capped_bucket_report(
@@ -176,12 +187,14 @@ def capped_bucket_report(
     ``annotate_bucket_sizes`` result: the report then reuses its exchange
     instead of a second full band-table shuffle.
 
-    The elision formula is strategy-exact:
+    The elision formula is strategy-exact, PER BUCKET:
     - ``hub``:  kept = m-1 (star to the bucket min);
     - ``salt``: kept = sum over salt groups of C(g,2) plus the n_groups-1
       link edges — computed from the ACTUAL salt assignment (same xxhash64
-      formula as ``salted_candidate_pairs``), not an estimate.
-    In both cases elided = C(m,2) - kept.
+      formula as ``_salted_big_pairs``), not an estimate.
+    Oversized DENSE-band buckets (band_id >= num_bands) are always salted
+    (see candidate_pairs) and report strategy="salt" even under the hub
+    default. In all cases elided = C(m,2) - kept.
     """
     if annotated is None:
         if band_df is None:
@@ -191,29 +204,38 @@ def capped_bucket_report(
     total_pairs = (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long")
 
     if cfg.skew_strategy == "salt":
-        salted = big.withColumn(
-            "salt",
-            F.pmod(
-                F.xxhash64("uid", "band_id", "band_hash"),
-                F.ceil(F.col("bucket_size") / F.lit(cfg.max_bucket_size)).cast("long"),
-            ),
-        )
-        per_group = salted.groupBy("band_id", "band_hash", "salt").agg(
-            F.count("*").alias("g"), F.max("bucket_size").alias("bucket_size")
-        )
-        report = per_group.groupBy("band_id", "band_hash").agg(
-            F.max("bucket_size").alias("bucket_size"),
-            F.sum((F.col("g") * (F.col("g") - 1) / 2).cast("long")).alias("kept_within"),
-            F.count("*").alias("n_groups"),
-        )
-        report = report.withColumn(
-            "pairs_kept", F.col("kept_within") + F.col("n_groups") - 1
-        ).drop("kept_within", "n_groups")
+        salt_side, hub_side = big, None
     else:
-        report = big.select("band_id", "band_hash", "bucket_size").dropDuplicates(
-            ["band_id", "band_hash"]
-        ).withColumn("pairs_kept", (F.col("bucket_size") - 1).cast("long"))
+        salt_side = big.filter(F.col("band_id") >= cfg.num_bands)
+        hub_side = big.filter(F.col("band_id") < cfg.num_bands)
 
-    return report.withColumn("pairs_elided", total_pairs - F.col("pairs_kept")).withColumn(
-        "strategy", F.lit(cfg.skew_strategy)
+    salted = salt_side.withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64("uid", "band_id", "band_hash"),
+            F.ceil(F.col("bucket_size") / F.lit(cfg.max_bucket_size)).cast("long"),
+        ),
     )
+    per_group = salted.groupBy("band_id", "band_hash", "salt").agg(
+        F.count("*").alias("g"), F.max("bucket_size").alias("bucket_size")
+    )
+    report = per_group.groupBy("band_id", "band_hash").agg(
+        F.max("bucket_size").alias("bucket_size"),
+        F.sum((F.col("g") * (F.col("g") - 1) / 2).cast("long")).alias("kept_within"),
+        F.count("*").alias("n_groups"),
+    )
+    report = (
+        report.withColumn("pairs_kept", F.col("kept_within") + F.col("n_groups") - 1)
+        .drop("kept_within", "n_groups")
+        .withColumn("strategy", F.lit("salt"))
+    )
+    if hub_side is not None:
+        hub_report = (
+            hub_side.select("band_id", "band_hash", "bucket_size")
+            .dropDuplicates(["band_id", "band_hash"])
+            .withColumn("pairs_kept", (F.col("bucket_size") - 1).cast("long"))
+            .withColumn("strategy", F.lit("hub"))
+        )
+        report = report.unionByName(hub_report)
+
+    return report.withColumn("pairs_elided", total_pairs - F.col("pairs_kept"))

@@ -100,7 +100,7 @@ def short_doc_containment_candidates(
     id_col: str = "file_id",
     content_col: str = "content",
     cfg=None,
-    n_words: int = 5,
+    n_words: int = 3,
 ) -> DataFrame:
     """Containment candidates for docs SHORTER than the CDC rolling window
     — the anchor path's hard floor: a 53-byte doc can never share a
@@ -111,10 +111,18 @@ def short_doc_containment_candidates(
 
     Word-n-gram equi-join instead: the tiny docs' distinct word grams
     against the corpus gram table (the repeated_wordgram_mining explode
-    shape — linear rows, zipfian key), hub-capped per gram like the anchor
-    buckets. Output is (id_a, id_b) candidates with a tiny doc on >= one
-    side; always exact-verified downstream, so extra candidates only cost
-    the bounded verify join."""
+    shape — linear rows, zipfian key). n_words=3 keeps docs of >= 3 words
+    above the gram floor (a sub-64-byte doc with fewer words is below this
+    source's reach — documented with the other candidate boundaries in
+    q_ngram_containment_pairs).
+
+    Oversized gram buckets (> max_bucket_size corpus docs hold the gram)
+    are DETERMINISTICALLY TRUNCATED to the cap lowest uids as candidate
+    partners — containment output is pairs, not components, so no
+    connectivity-preserving star can stand in for the dropped partners;
+    the truncation is the explicit bound, not a silent filter: a tiny doc
+    still gets up to cap partners per boilerplate gram instead of zero.
+    Candidates are always exact-verified downstream."""
     from pyspark.sql import Window
 
     from hmse_spark.config import DEFAULT as _D
@@ -128,9 +136,12 @@ def short_doc_containment_candidates(
         F.explode(F.array_distinct(wordgram_col(content_col, n_words))).alias("g"),
     )
     tiny = grams.filter(F.col("_len") < floor).select("uid", "g")
-    w = Window.partitionBy("g")
-    ann = grams.select("uid", "g").withColumn("n", F.count("*").over(w)).filter(
-        F.col("n") <= cfg.max_bucket_size
+    w = Window.partitionBy("g").orderBy("uid")
+    ann = (
+        grams.select("uid", "g")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cfg.max_bucket_size)
+        .drop("_rk")
     )
     return (
         ann.select("g", F.col("uid").alias("id_b"))

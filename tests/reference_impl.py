@@ -28,7 +28,7 @@ def ref_candidate_pairs(bands, ids: list[int]) -> set[tuple[int, int]]:
     variant). ``bands`` may be ragged (short docs carry dense bands at
     positions 4..19); position == band_id, matching posexplode."""
     pairs: set[tuple[int, int]] = set()
-    n_bands = max(len(b) for b in bands)
+    n_bands = max((len(b) for b in bands), default=0)
     for b in range(n_bands):
         buckets: dict[int, list[int]] = {}
         for i, row in enumerate(bands):

@@ -221,3 +221,28 @@ def test_salted_pairs_preserve_components_and_bound(spark):
     assert len(row0) == 1 and row0[0]["pairs_kept"] == len(got0)
     hub_report = lsh.capped_bucket_report(band_df, cfg).collect()
     assert all(r["pairs_kept"] == 59 and r["strategy"] == "hub" for r in hub_report)
+
+
+def test_dense_band_buckets_salted_under_hub_default(spark):
+    """An oversized DENSE-band bucket (short-doc stratum, r=8) must NOT be
+    hub-starred even under the hub default: r=8 bucket membership is weak
+    evidence, so member-member direct pairs have to survive via the salt
+    split. 40 identical short docs -> every dense band is one 40-bucket at
+    cap 10; direct pairs must exceed the m-1=39 a star would keep, and the
+    report must show strategy=salt for dense buckets and hub for main."""
+    cfg = PipelineConfig(max_bucket_size=10)
+    data = [(i, "short identical doc body under 256 bytes") for i in range(40)]
+    df = spark.createDataFrame(data, "file_id long, content string")
+    sig_df = minhash.add_signatures(df, cfg=cfg).select("file_id", "sig", "bands")
+    assert sig_df.select(F.size("bands")).first()[0] == cfg.num_bands + cfg.short_doc_bands
+    band_df = lsh.explode_bands(sig_df)
+    pairs = lsh.candidate_pairs(band_df, cfg)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert len(got) > 39, "dense buckets must keep salted direct pairs"
+    report = lsh.capped_bucket_report(band_df, cfg).collect()
+    strategies = {r["band_id"]: r["strategy"] for r in report}
+    assert all(s == "hub" for b, s in strategies.items() if b < cfg.num_bands)
+    assert all(s == "salt" for b, s in strategies.items() if b >= cfg.num_bands)
+    # accounting still strategy-exact per bucket
+    for r in report:
+        assert r["pairs_kept"] + r["pairs_elided"] == 40 * 39 // 2
