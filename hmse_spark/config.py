@@ -108,15 +108,13 @@ class PipelineConfig:
     corpus_seed: int = 42
 
     def __post_init__(self) -> None:
-        try:
-            # deferred + guarded: delta.py imports this module at its top, so
-            # when delta itself triggers the first config import, CODECS is
-            # not bound yet — encode/decode dispatch still validates by
-            # KeyError in that (module-init-only) window
-            from hmse_spark.operators.delta import CODECS
-        except ImportError:
-            CODECS = None
-        if CODECS is not None and self.delta_codec not in CODECS:
+        # delta_codecs is a leaf module (no hmse_spark imports), so this
+        # validation can never be skipped by an import cycle (r3 advice:
+        # the old guarded `from operators.delta import CODECS` silently
+        # no-opped during the config<->delta module-init window)
+        from hmse_spark.operators.delta_codecs import CODECS
+
+        if self.delta_codec not in CODECS:
             raise ValueError(
                 f"delta_codec {self.delta_codec!r} not in {sorted(CODECS)}"
             )

@@ -31,8 +31,6 @@ stock zlib (32 KiB max); irrelevant here for the same reason — chunks are
 
 from __future__ import annotations
 
-import zlib
-
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -40,104 +38,18 @@ from pyspark.sql import functions as F
 
 from hmse_spark.config import DEFAULT, PipelineConfig
 
+# Codecs live in the leaf module delta_codecs (no intra-package imports) so
+# config.py can validate cfg.delta_codec against CODECS without a cycle.
+from hmse_spark.operators.delta_codecs import (  # noqa: F401  (public seam)
+    CODECS,
+    deflate,
+    delta_decode,
+    delta_encode,
+    inflate,
+)
+
 KIND_FULL = "full"
 KIND_DELTA = "delta"
-
-
-def deflate(data: bytes, level: int = 9) -> bytes:
-    """L1 DEFLATE, level 9 (README.md:288, 2374)."""
-    return zlib.compress(data, level)
-
-
-def inflate(data: bytes) -> bytes:
-    return zlib.decompress(data)
-
-
-def _zdict_encode(base: bytes, target: bytes, level: int = 9) -> bytes:
-    co = zlib.compressobj(level=level, zdict=base)
-    return co.compress(target) + co.flush()
-
-
-def _zdict_decode(base: bytes, delta: bytes) -> bytes:
-    do = zlib.decompressobj(zdict=base)
-    return do.decompress(delta) + do.flush()
-
-
-_BLOCK = 16  # block-hash granularity of the blockcopy codec
-
-
-def _blockcopy_encode(base: bytes, target: bytes, level: int = 9) -> bytes:
-    """xdelta-family COPY/LITERAL encoder: index base in _BLOCK-byte blocks,
-    greedily scan target, extend matches forward; the op stream (C <off><len>
-    / L <len><bytes>) is DEFLATEd so literal runs still compress. Pure
-    Python, linear-time, deterministic."""
-    idx: dict[bytes, int] = {}
-    for i in range(0, len(base) - _BLOCK + 1, _BLOCK):
-        idx.setdefault(base[i : i + _BLOCK], i)
-    ops = bytearray()
-    lit = bytearray()
-
-    def flush_lit() -> None:
-        if lit:
-            ops.extend(b"L")
-            ops.extend(len(lit).to_bytes(4, "little"))
-            ops.extend(lit)
-            lit.clear()
-
-    i, n = 0, len(target)
-    while i < n:
-        j = idx.get(target[i : i + _BLOCK]) if i + _BLOCK <= n else None
-        if j is None:
-            lit.append(target[i])
-            i += 1
-            continue
-        li, lj = i + _BLOCK, j + _BLOCK
-        while li < n and lj < len(base) and target[li] == base[lj]:
-            li += 1
-            lj += 1
-        flush_lit()
-        ops.extend(b"C")
-        ops.extend(j.to_bytes(4, "little"))
-        ops.extend((li - i).to_bytes(4, "little"))
-        i = li
-    flush_lit()
-    return zlib.compress(bytes(ops), level)
-
-
-def _blockcopy_decode(base: bytes, delta: bytes) -> bytes:
-    ops = zlib.decompress(delta)
-    out = bytearray()
-    i, n = 0, len(ops)
-    while i < n:
-        tag = ops[i : i + 1]
-        if tag == b"C":
-            off = int.from_bytes(ops[i + 1 : i + 5], "little")
-            ln = int.from_bytes(ops[i + 5 : i + 9], "little")
-            out.extend(base[off : off + ln])
-            i += 9
-        elif tag == b"L":
-            ln = int.from_bytes(ops[i + 1 : i + 5], "little")
-            out.extend(ops[i + 5 : i + 5 + ln])
-            i += 5 + ln
-        else:
-            raise ValueError(f"corrupt blockcopy delta: op {tag!r} at {i}")
-    return bytes(out)
-
-
-# codec seam: name -> (encode, decode); both sides of the store dispatch on
-# cfg.delta_codec, so an xdelta3 binding can drop in by registering here
-CODECS: dict[str, tuple] = {
-    "zdict": (_zdict_encode, _zdict_decode),
-    "blockcopy": (_blockcopy_encode, _blockcopy_decode),
-}
-
-
-def delta_encode(base: bytes, target: bytes, level: int = 9, codec: str = "zdict") -> bytes:
-    return CODECS[codec][0](base, target, level)
-
-
-def delta_decode(base: bytes, delta: bytes, codec: str = "zdict") -> bytes:
-    return CODECS[codec][1](base, delta)
 
 
 RECORDS_SCHEMA = (

@@ -33,7 +33,8 @@ def cascading_time_rollup(
     """Returns {level: DataFrame} with columns (bucket, *key_cols, n_events,
     total_value, min_value, max_value); every level after the first is
     computed FROM the previous level, except 'month' after 'week', which is
-    computed from the finest day-or-finer level (weeks straddle months)."""
+    computed from the finest day-or-finer level (weeks straddle months), or
+    directly from raw when no day-or-finer level was requested."""
     order = [lv for lv in _UNITS if lv in levels]
     if order != list(levels):
         raise ValueError(f"levels must be finest-to-coarsest among {_UNITS}")
@@ -49,12 +50,9 @@ def cascading_time_rollup(
     for lv in levels:
         source = prev
         if lv == "month" and prev is not None and "week" in out:
-            if month_aligned is None:
-                raise ValueError(
-                    "levels cascading 'month' from 'week' need a day-or-finer "
-                    "level too: weeks cross month boundaries, so month buckets "
-                    "cannot be re-aggregated from week buckets"
-                )
+            # fall back to the finest month-aligned level, or to raw when the
+            # request is e.g. ('week', 'month') and no such level exists —
+            # month-from-raw is always computable, just not cascade-cheap
             source = month_aligned
         if source is None:
             cur = df.groupBy(

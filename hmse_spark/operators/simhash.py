@@ -29,8 +29,11 @@ from hmse_spark.functions.hashing import avalanche64
 from hmse_spark.functions.shingles import shingle_set_u32
 
 
-_TILE = 1 << 20  # shingles per tile: bounds per-tile transients (~8 MB keys)
-                 # regardless of Arrow batch size
+_TILE = 1 << 20      # shingles per tile: bounds the hash-key transient (~8 MB)
+_SEG_TILE = 1 << 15  # segments (docs) per tile: bounds the per-lane bincount
+                     # transient (nseg*256 int64 = 64 MiB at the cap). Without
+                     # this second cap a batch of ~1M one-shingle docs would
+                     # allocate ~2 GB per lane however small _TILE is.
 
 # (256, 8) little-endian bit table: row b = the 8 bits of byte value b
 _BIT_LUT = np.unpackbits(
@@ -50,7 +53,10 @@ def simhash_batch(
     per-bit sums with a (256, 8) bit-LUT matmul — 8 linear passes instead of
     the per-shingle unpack + segmented ``reduceat`` of the first cut
     (measured 8x faster at identical output; reduceat's per-segment inner
-    loop dominated). Tiled so transients stay bounded for any Arrow batch.
+    loop dominated). Tiled on BOTH axes — shingles per tile (_TILE, hash-key
+    transient) and segments per tile (_SEG_TILE, bincount transient) — so
+    transients stay bounded for any Arrow batch shape, including batches of
+    millions of tiny docs.
 
     ``sets``: precomputed ``shingle_set_u32`` outputs (the fused pass shares
     one set-building pass between MinHash and SimHash).
@@ -67,8 +73,17 @@ def simhash_batch(
     seg_ids = np.repeat(np.arange(nonempty.size, dtype=np.int64), lens[nonempty])
     sums = np.zeros((nonempty.size, 64), dtype=np.int64)
     total = flat.size
-    for t0 in range(0, total, _TILE):
+    # per-segment start offsets in flat-index space, for the segment-cap clamp
+    seg_starts = np.concatenate(([0], np.cumsum(lens[nonempty])))
+    t0 = 0
+    while t0 < total:
         t1 = min(t0 + _TILE, total)
+        s0 = int(seg_ids[t0])
+        s_cap = s0 + _SEG_TILE
+        if int(seg_ids[t1 - 1]) >= s_cap:
+            # clamp the tile to _SEG_TILE segments; s_cap >= s0+1 and
+            # seg_starts[s0+1] > t0, so progress is guaranteed
+            t1 = int(seg_starts[s_cap])
         h = avalanche64(flat[t0:t1]).view(np.uint8).reshape(-1, 8)
         sid = seg_ids[t0:t1]
         d0, d1 = int(sid[0]), int(sid[-1]) + 1
@@ -79,6 +94,7 @@ def simhash_batch(
                 local * 256 + h[:, lane], minlength=nseg * 256
             ).reshape(nseg, 256)
             sums[d0:d1, lane * 8 : (lane + 1) * 8] += counts @ _BIT_LUT
+        t0 = t1
     counts_per = lens[nonempty][:, None]
     # bit set iff ones > zeros  <=>  2*ones > count
     fp_bits = (2 * sums > counts_per).astype(np.uint8)

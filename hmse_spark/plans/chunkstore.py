@@ -118,21 +118,6 @@ def build_chunk_store(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # chunk_uid = xxhash64(sha) must be collision-free before it becomes the
-    # CC node id — at ~10^10 unique chunks 64-bit birthday collisions are
-    # expected (>1) and would silently fuse unrelated chunk clusters. One agg
-    # over the (persisted) unique-sha table; fail loudly like run_pipeline.py
-    # does for file_id.
-    uid_row = uniq.agg(
-        F.count("*").alias("n"), F.countDistinct("chunk_uid").alias("n_uid")
-    ).first()
-    if int(uid_row["n"]) != int(uid_row["n_uid"]):
-        raise RuntimeError(
-            f"chunk_uid collision: {uid_row['n']} unique shas -> "
-            f"{uid_row['n_uid']} distinct xxhash64 uids; widen the uid "
-            "derivation before clustering"
-        )
-
     # ---- L4: near-dup clustering over unique chunks ------------------------
     # chunk-level L4 keeps the reference's FROZEN b=4/r=32 banding exactly
     # (no short-doc dense bands): the dedup-ratio fixture (9.371:1) is
@@ -140,12 +125,20 @@ def build_chunk_store(
     import dataclasses as _dc
 
     chunk_cfg = _dc.replace(cfg, short_doc_band_bytes=None)
-    sigs = minhash.add_signatures(uniq, "chunk_bytes", chunk_cfg).select(
-        "chunk_uid", "chunk_sha", "sig", "bands"
+    # sigs feed THREE consumers (band explode + both est-Jaccard verify
+    # joins); without this persist the MinHash Arrow UDF re-runs per consumer
+    # — measured as the bulk of the r3 chunk_store bench regression
+    sigs = (
+        minhash.add_signatures(uniq, "chunk_bytes", chunk_cfg)
+        .select("chunk_uid", "chunk_sha", "sig", "bands")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = lsh.candidate_pairs(lsh.explode_bands(sigs, "chunk_uid"), cfg)
     ver = verify.verified_pairs(pairs, sigs, "chunk_uid", cfg)
     labels = cc.connected_components(ver.select("id_a", "id_b"))
+    # cc persisted + materialized the edge set in its size probe, so the sig
+    # cache has no further consumer
+    sigs.unpersist()
     labels = cc.attach_singletons(labels, uniq, "chunk_uid").withColumnRenamed(
         "uid", "chunk_uid"
     )
@@ -160,25 +153,42 @@ def build_chunk_store(
     )
 
     # ---- metrics -----------------------------------------------------------
-    # coalesce the sums: an empty corpus (or all-empty files) yields zero
-    # records, where SUM() is NULL and int()/division would crash.
-    # n_unique reuses the uid-check aggregate (uniq has one row per sha by
-    # construction) — 4 eager jobs total instead of 6
-    logical = int(
-        files.agg(F.coalesce(F.sum(F.octet_length(content_col)), F.lit(0))).first()[0]
-    )
+    # TWO eager jobs total (was four in r3): one agg over the records cache
+    # (stored bytes + delta count + the uid-collision check + n_unique) and
+    # one over the chunks cache (n_chunks + logical bytes — chunks partition
+    # every file, so sum(length) == sum(octet_length(content)) including
+    # empty/NULL files, which contribute 0 either way). coalesce the sums: an
+    # empty corpus yields zero records, where SUM() is NULL.
     rec_row = records.agg(
         F.coalesce(F.sum("stored_len"), F.lit(0)).alias("stored"),
         F.coalesce(
             F.sum((F.col("kind") == delta_op.KIND_DELTA).cast("long")), F.lit(0)
         ).alias("n_delta"),
+        F.count("*").alias("n"),
+        F.countDistinct(F.xxhash64("chunk_sha")).alias("n_uid"),
     ).first()
     stored, n_delta = int(rec_row["stored"]), int(rec_row["n_delta"])
+    # chunk_uid = xxhash64(sha) must be collision-free as the CC node id —
+    # at ~10^10 unique chunks 64-bit birthday collisions are expected (>1)
+    # and would silently fuse unrelated chunk clusters. records carry one row
+    # per unique sha, so the check folds into the metrics agg for free; a
+    # collision fails loudly here, before any result leaves this function
+    # (the interim clustering work is discarded by the raise).
+    if int(rec_row["n"]) != int(rec_row["n_uid"]):
+        raise RuntimeError(
+            f"chunk_uid collision: {rec_row['n']} unique shas -> "
+            f"{rec_row['n_uid']} distinct xxhash64 uids; widen the uid "
+            "derivation before clustering"
+        )
     # the records agg materialized every partition (cache filled); the unique
     # chunk bytes have no further consumer — release them
     uniq.unpersist()
-    n_chunks = chunks.count()
-    n_unique = int(uid_row["n"])
+    chunks_row = chunks.agg(
+        F.count("*").alias("n_chunks"),
+        F.coalesce(F.sum("length"), F.lit(0)).alias("logical"),
+    ).first()
+    n_chunks, logical = int(chunks_row["n_chunks"]), int(chunks_row["logical"])
+    n_unique = int(rec_row["n"])
     metrics = spark.createDataFrame(
         [
             {

@@ -278,9 +278,15 @@ def test_cascading_rollup_month_not_from_week(spark):
         for r in levels["month"].collect()
     }
     assert cascaded == direct  # March event must land in March
-    # a month level cascaded from week with no day-or-finer source is invalid
-    with pytest.raises(ValueError, match="week"):
-        cascading_time_rollup(df, levels=("week", "month"))
+    # ('week', 'month') has no day-or-finer source: month must fall back to
+    # aggregating raw directly (r3 advice — the request is computable, just
+    # not cascade-cheap), still matching the direct answer
+    no_day = cascading_time_rollup(df, levels=("week", "month"))
+    fell_back = {
+        r["bucket"]: (r["n_events"], r["total_value"])
+        for r in no_day["month"].collect()
+    }
+    assert fell_back == direct
 
 
 def test_asof_bucketed_matches_plain(spark, frames):

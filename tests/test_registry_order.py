@@ -1,0 +1,33 @@
+"""The graft driver's correctness harness checks only the first 50 registered
+queries. Every oracled query must sit inside that window (r3 verdict: six
+oracled queries fell outside it and lost their hard correctness signal)."""
+
+from hmse_spark.plans import queries as q
+
+DRIVER_WINDOW = 50
+
+
+def test_all_oracled_queries_inside_driver_window():
+    names = list(q.queries())
+    oracled = set(q.oracle_sql())
+    window = set(names[:DRIVER_WINDOW])
+    outside = oracled - window
+    assert not outside, (
+        f"oracled queries outside the driver's {DRIVER_WINDOW}-entry window: "
+        f"{sorted(outside)}"
+    )
+
+
+def test_rows_only_priority_is_explicit_and_exact():
+    names = list(q.queries())
+    oracled = set(q.oracle_sql())
+    rows_only = [n for n in names if n not in oracled]
+    # rows-only entries appear after every oracled entry, in priority order
+    assert names[len(oracled):] == rows_only
+    assert rows_only == [n for n in q._ROWS_ONLY_PRIORITY if n in set(rows_only)]
+
+
+def test_registry_reorder_drops_nothing():
+    names = list(q.queries())
+    assert len(names) == len(set(names))
+    assert set(q.oracle_sql()) <= set(names)

@@ -31,6 +31,22 @@ def test_simhash_near_dup_is_close():
     assert ham <= 12, f"hamming {ham} too large for J=0.9 pair"
 
 
+def test_simhash_segment_tile_cap_is_bit_identical(monkeypatch):
+    """Many tiny docs must cross the _SEG_TILE boundary without changing any
+    fingerprint (the r3 advice finding: an un-capped per-lane bincount
+    transient grows with docs-per-batch, not shingles-per-batch)."""
+    rng = np.random.default_rng(7)
+    contents = [
+        bytes(rng.integers(0, 256, int(n), dtype=np.uint8))
+        for n in rng.integers(4, 12, 300)
+    ]
+    baseline = simhash.simhash_batch(contents)
+    monkeypatch.setattr(simhash, "_SEG_TILE", 16)
+    monkeypatch.setattr(simhash, "_TILE", 64)
+    tiled = simhash.simhash_batch(contents)
+    assert np.array_equal(baseline, tiled)
+
+
 def test_simhash_spark_matches_numpy(spark):
     c = generate_corpus(CorpusSpec(n_files=60))
     df = corpus_to_spark(spark, c)
