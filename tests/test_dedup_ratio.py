@@ -27,6 +27,24 @@ def test_dedup_ratio_fixture(spark):
     assert err <= 0.01, f"dedup ratio {m['dedup_ratio']:.4f} vs target {target} (err {err:.2%})"
 
 
+def test_dedup_ratio_fixture_blockcopy(spark):
+    """The alternate (xdelta-family) codec's fixture ratio, pinned so a
+    codec swap is a conscious, test-visible decision (docs/CODECS.md: zdict
+    stays default — better ratio at every measured size; blockcopy trades
+    ~2% ratio for ~30% faster delta encode)."""
+    import dataclasses
+
+    from hmse_spark.config import DEFAULT
+
+    c = generate_corpus(wikipedia_profile_spec())
+    df = corpus_to_spark(spark, c)
+    cfg = dataclasses.replace(DEFAULT, delta_codec="blockcopy")
+    m = build_chunk_store(spark, df, cfg).metrics.first()
+    target = 9.178  # measured round 4 (tools/codec_compare.py --fixture)
+    err = abs(m["dedup_ratio"] - target) / target
+    assert err <= 0.01, f"blockcopy ratio {m['dedup_ratio']:.4f} vs pinned {target}"
+
+
 def test_five_copies_chunk_level(spark):
     """README.md:1298-1315 at chunk granularity: 5x corpus -> unique chunks
     unchanged, stored bytes within 1.05x of single-copy store."""

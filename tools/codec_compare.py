@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Delta-codec comparison harness (zdict vs blockcopy).
+
+For each codec: build the full L1-L4 chunk store over the same corpus and
+report dedup ratio, stored bytes, delta acceptance (n_delta_chunks — the
+<=20% rule winners), wall time, and (with --verify) read-path fidelity via
+reconstruct_and_verify. The reference names xdelta3 for this role
+(/root/reference/README.md:2160-2198); neither xdelta3 nor bsdiff ships in
+this container, so the comparison is between the two pure-Python seams
+behind CODECS (operators/delta_codecs.py).
+
+Usage:
+    python tools/codec_compare.py --files 250 --fixture   # fixture corpus
+    python tools/codec_compare.py --files 40000           # stress corpus
+    python tools/codec_compare.py --files 100000 --verify # + read path
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=250)
+    ap.add_argument("--fixture", action="store_true",
+                    help="use wikipedia_profile_spec (ratio-calibration corpus)")
+    ap.add_argument("--verify", action="store_true",
+                    help="also run reconstruct_and_verify per codec")
+    ap.add_argument("--codecs", default="zdict,blockcopy")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from hmse_spark.config import DEFAULT
+    from hmse_spark.corpus import CorpusSpec, corpus_to_spark, generate_corpus, wikipedia_profile_spec
+    from hmse_spark.plans.chunkstore import build_chunk_store, reconstruct_and_verify
+    from hmse_spark.runtime import ensure_on_executors
+    from hmse_spark.session import build_session
+
+    spark = build_session(
+        "codec_compare",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.shuffle_partitions or max(32, args.cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_on_executors(spark)
+
+    spec = wikipedia_profile_spec() if args.fixture else CorpusSpec(n_files=args.files, seed=42)
+    corpus = generate_corpus(spec)
+    df = corpus_to_spark(spark, corpus).persist()
+    n = df.count()
+
+    for codec in args.codecs.split(","):
+        cfg = dataclasses.replace(DEFAULT, delta_codec=codec)
+        spark.catalog.clearCache()
+        df.persist()
+        df.count()
+        t0 = time.time()
+        store = build_chunk_store(spark, df, cfg)
+        m = store.metrics.first().asDict()
+        wall = round(time.time() - t0, 1)
+        row = {
+            "codec": codec,
+            "n_files": n,
+            "wall_sec": wall,
+            **{k: m[k] for k in (
+                "logical_bytes", "stored_bytes", "dedup_ratio",
+                "n_chunks", "n_unique_chunks", "n_delta_chunks",
+            )},
+        }
+        if args.verify:
+            t1 = time.time()
+            fid = (
+                reconstruct_and_verify(spark, df, store, cfg=cfg)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("ok").cast("long")).alias("ok"),
+                )
+                .first()
+            )
+            row["verify_sec"] = round(time.time() - t1, 1)
+            row["files_checked"] = int(fid["n"])
+            row["files_ok"] = int(fid["ok"])
+        print(json.dumps(row), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
