@@ -152,6 +152,102 @@ def short_doc_containment_candidates(
     )
 
 
+def prefix_filter_containment_candidates(
+    units: DataFrame,
+    id_col: str = "file_id",
+    content_col: str = "content",
+    threshold: float = 0.9,
+    cfg=None,
+) -> DataFrame:
+    """EXACT containment candidates via prefix filtering (the SSJoin/PPJoin
+    family: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) — the corpus-wide
+    shingle inverted index that closes the bag-of-grams boundary the
+    run-based sources (anchors, word grams, banding) cannot reach
+    (q_ngram_containment_pairs' documented r3 non-goal).
+
+    Principle: order all k-grams by a global canonical order (ascending
+    document frequency, ties by gram). If |G_A ∩ G_B| >= t*|G_A| then G_B
+    must hit one of A's first |G_A| - ceil(t*|G_A|) + 1 grams in that order
+    — otherwise the intersection is at most ceil(t*|G_A|) - 1 < t*|G_A|.
+    So probing each doc's PREFIX (the ~(1-t) rarest fraction of its grams)
+    against an inverted index finds every pair whose smaller side is
+    t-contained in the larger, without an all-pairs join. (The verifier
+    compares the 6dp-ROUNDED ratio, so the prefix length uses t - 1e-6 —
+    the rounding slack — to keep the guarantee airtight.)
+
+    Scale shape: one df aggregate over exploded distinct grams (uniform
+    after the per-doc distinct), one per-doc window for prefix selection,
+    and the index side is SEMI-JOIN restricted to grams appearing in some
+    prefix (~(1-t) of corpus grams) before the candidate equi-join — the
+    full n_grams-row shuffle the r3 note warned about never materializes.
+    Prefix grams are the RAREST of each doc, so posting lists are short by
+    construction; lists that still exceed cfg.max_bucket_size (a doc whose
+    whole prefix is boilerplate grams) are DETERMINISTICALLY TRUNCATED to
+    the cap lowest uids — the same explicit bound as
+    short_doc_containment_candidates, never a silent filter. Candidates are
+    always exact-verified downstream.
+
+    ASCII corpora only for char==byte gram parity with shingle_set_u32
+    (the same precondition the substring/containment oracles already rely
+    on). Docs shorter than k have no grams here; their containment regime
+    is byte equality, owned by exact dedup."""
+    from pyspark.sql import Window
+
+    from hmse_spark.config import DEFAULT as _D
+
+    cfg = cfg or _D
+    k = cfg.shingle_k
+    t_eff = threshold - 1e-6
+    text = F.coalesce(F.col(content_col).cast("string"), F.lit(""))
+    grams = units.select(
+        F.col(id_col).alias("uid"),
+        F.explode(
+            F.when(
+                F.octet_length(text) >= k,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.octet_length(text) - (k - 1)),
+                        lambda i: text.substr(i, F.lit(k)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    # document frequency: grams are distinct per doc, so count(*) == df
+    dfreq = grams.groupBy("g").agg(F.count("*").alias("_df"))
+    sized = grams.join(dfreq, "g").withColumn(
+        "_n", F.count("*").over(Window.partitionBy("uid"))
+    )
+    prefix = (
+        sized.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("uid").orderBy(F.asc("_df"), F.asc("g"))
+            ),
+        )
+        .filter(F.col("_rk") <= F.col("_n") - F.ceil(F.lit(t_eff) * F.col("_n")) + 1)
+        .select("uid", "g")
+    )
+    postings = (
+        grams.join(prefix.select("g").distinct(), "g", "leftsemi")
+        .withColumn(
+            "_rk", F.row_number().over(Window.partitionBy("g").orderBy("uid"))
+        )
+        .filter(F.col("_rk") <= cfg.max_bucket_size)
+        .select("g", "uid")
+    )
+    return (
+        prefix.select("g", F.col("uid").alias("id_a"))
+        .join(postings.select("g", F.col("uid").alias("id_b")), "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def containment_pairs(
     pairs: DataFrame,
     units: DataFrame,

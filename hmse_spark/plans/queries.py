@@ -1417,9 +1417,10 @@ def q_boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.strip_repeated_lines(docs, min_docs=20)
 
 
-@register(
-    "ngram_containment_pairs",
-    """
+# Brute-force all-pairs containment ground truth over the planted-filler
+# union — shared by the three-source-union query AND the prefix-filter
+# query: both must land on the exact same verified pair set.
+_CONTAINMENT_ORACLE = """
     WITH docs AS (
       SELECT doc_id AS id, text FROM documents
       UNION ALL
@@ -1441,8 +1442,26 @@ def q_boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sh a JOIN sh b ON a.id < b.id
     WHERE ROUND(len(list_intersect(a.s, b.s)) * 1.0
           / least(len(a.s), len(b.s)), 6) >= 0.9
-    """,
-)
+"""
+
+
+def _containment_union_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + each of docs 0-4 pasted inside filler (the planted
+    containment regime both containment queries and their shared oracle
+    operate on)."""
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    base = documents_as_corpus(spark, sf_dir).select("file_id", "content")
+    planted = base.filter(F.col("file_id") < 5).select(
+        (F.col("file_id") + 500000).alias("file_id"),
+        F.concat(
+            F.lit("PREFIX FILLER " * 40), F.col("content"), F.lit(" SUFFIX FILLER " * 40)
+        ).alias("content"),
+    )
+    return base.unionByName(planted)
+
+
+@register("ngram_containment_pairs", _CONTAINMENT_ORACLE)
 def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Superstring dedup: pairs where the smaller doc is >= 90% shingle-
     contained in the other. Candidates come from BOTH signal paths — the
@@ -1461,28 +1480,17 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     run of TWO — bag-of-grams containment with no shared run — sit outside
     every run-based signal (anchors need a 64-byte window, word grams need
     a verbatim 3-word run at the default n_words=3, banding needs symmetric
-    Jaccard). Exact recall
-    for that shape requires a corpus-wide shingle inverted index with
-    prefix filtering (an n_bytes-row shuffle; SSJoin/PPJoin family) —
-    a documented non-goal at this threshold."""
+    Jaccard). That shape needs a corpus-wide shingle inverted index with
+    prefix filtering (SSJoin/PPJoin family) — implemented in round 4 as
+    ``containment_prefix_pairs`` (the next registration), which CLOSES the
+    boundary; this run-based union stays registered as the cheaper
+    candidate net for corpora without adversarial bag-of-grams pairs."""
     import dataclasses
 
     from hmse_spark.config import DEFAULT
     from hmse_spark.operators import lsh, minhash, suffix, verify
-    from hmse_spark.sources.tables import documents_as_corpus
 
-    corpus = documents_as_corpus(spark, sf_dir)
-    base = corpus.select("file_id", "content")
-    planted = (
-        base.filter(F.col("file_id") < 5)
-        .select(
-            (F.col("file_id") + 500000).alias("file_id"),
-            F.concat(
-                F.lit("PREFIX FILLER " * 40), F.col("content"), F.lit(" SUFFIX FILLER " * 40)
-            ).alias("content"),
-        )
-    )
-    docs = base.unionByName(planted)
+    docs = _containment_union_docs(spark, sf_dir)
     # one shared >= L-byte window IS the containment signal, so candidacy
     # needs min_anchors=1, and ~300-byte docs need denser anchors (at the
     # default 1/256 rate a short doc has ~e^-1 odds of ZERO anchors — docs 3
@@ -1505,6 +1513,25 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slipped both other nets)
     tiny_cands = verify.short_doc_containment_candidates(docs)
     cands = anchor_cands.unionByName(band_cands).unionByName(tiny_cands).distinct()
+    return verify.containment_pairs(cands, docs, threshold=0.9)
+
+
+@register("containment_prefix_pairs", _CONTAINMENT_ORACLE)
+def q_containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Superstring dedup with candidates from the prefix-filter inverted
+    index ALONE (verify.prefix_filter_containment_candidates — SSJoin/PPJoin
+    family), then exact-containment verified. Shares the brute-force
+    all-pairs oracle with ngram_containment_pairs, so a hash match certifies
+    the prefix filter's EXACT candidate completeness on this corpus — no
+    union with run-based sources needed. This is the operator that closes
+    the r3 documented boundary (bag-of-grams containment with no shared
+    run); the closure itself is pinned at sf0.001 in
+    tests/test_variants.py::test_prefix_filter_closes_bag_of_grams_boundary,
+    where the adversarial pairs live."""
+    from hmse_spark.operators import verify
+
+    docs = _containment_union_docs(spark, sf_dir)
+    cands = verify.prefix_filter_containment_candidates(docs, threshold=0.9)
     return verify.containment_pairs(cands, docs, threshold=0.9)
 
 

@@ -221,3 +221,94 @@ def test_short_doc_containment_candidates(spark):
            for r in verify.short_doc_containment_candidates(df).collect()}
     assert (1, 2) in got
     assert (1, 3) not in got
+
+
+def test_prefix_filter_candidates_exact_completeness(spark):
+    """The prefix-filter inverted index must produce a candidate SUPERSET of
+    every true containment pair — including a scattered bag-of-grams pair
+    with no shared word run (the shape outside every run-based source)."""
+    from itertools import combinations
+
+    from hmse_spark.functions.shingles import containment_4gram
+    from hmse_spark.operators import verify
+
+    small = "alpha beta gamma delta epsilon zeta"
+    # big: every 4-gram of small present via overlapping 8-char chunks,
+    # shuffled + interleaved -> no 3-word run survives
+    rng = np.random.default_rng(3)
+    chunks = [small[i : i + 8] for i in range(0, len(small) - 4, 4)]
+    order = rng.permutation(len(chunks))
+    big = " xx ".join(chunks[i] for i in order) + " noise filler content here"
+    docs = [
+        (1, small),
+        (2, big),
+        (3, "completely unrelated text about spark engines"),
+        (4, small + " TAIL"),
+        (5, "zz"),
+    ]
+    df = spark.createDataFrame(docs, "file_id long, content string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in verify.prefix_filter_containment_candidates(df, threshold=0.9).collect()
+    }
+    truth = {
+        (min(ia, ib), max(ia, ib))
+        for (ia, ca), (ib, cb) in combinations(docs, 2)
+        if round(containment_4gram(ca.encode(), cb.encode()), 6) >= 0.9
+    }
+    assert truth, "fixture must contain at least one true containment pair"
+    assert truth <= got
+
+
+def test_prefix_filter_closes_bag_of_grams_boundary(spark):
+    """The r3 documented boundary, closed: at sf0.001 the corpus holds
+    containment pairs with NO shared 3-word-gram run (outside the word-gram
+    source), a sub-64-byte side (outside the anchor source), and tiny
+    symmetric Jaccard (outside banding). The prefix filter must recover the
+    FULL brute-force pair set, adversarial pairs included."""
+    from itertools import combinations
+
+    from hmse_spark.functions.shingles import containment_4gram, jaccard_4gram
+    from hmse_spark.functions.text import wordgram_col
+    from hmse_spark.operators import verify
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    docs = documents_as_corpus(spark, "/root/testdata/sf0.001").select(
+        "file_id", "content"
+    )
+    rows = [(r["file_id"], r["content"] or "") for r in docs.collect()]
+
+    truth = {}
+    for (ia, ca), (ib, cb) in combinations(rows, 2):
+        c = containment_4gram(ca.encode(), cb.encode())
+        if round(c, 6) >= 0.9:
+            truth[(min(ia, ib), max(ia, ib))] = (ca, cb)
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in verify.containment_pairs(
+            verify.prefix_filter_containment_candidates(docs, threshold=0.9),
+            docs,
+            threshold=0.9,
+        ).collect()
+    }
+    assert got == set(truth), (
+        f"missed: {set(truth) - got}; extra: {got - set(truth)}"
+    )
+
+    # the boundary pairs exist in this corpus: no shared 3-word gram, one
+    # side below the 64-byte anchor floor, symmetric Jaccard far below the
+    # banding regime — reachable by NO run-based source, found above anyway
+    def word3(s):
+        ws = [w for w in s.split(" ") if w]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    adversarial = [
+        p
+        for p, (ca, cb) in truth.items()
+        if not (word3(ca) & word3(cb))
+        and min(len(ca), len(cb)) < 64
+        and jaccard_4gram(ca.encode(), cb.encode()) < 0.5
+    ]
+    assert adversarial, "sf0.001 must still hold the documented boundary pairs"
+    assert set(adversarial) <= got
