@@ -152,14 +152,79 @@ def short_doc_containment_candidates(
     )
 
 
+def _prefix_gram_frames(
+    units: DataFrame,
+    id_col: str,
+    content_col: str,
+    threshold: float,
+    k: int,
+):
+    """Shared plumbing for the prefix-filter index: one gram explode feeding
+    ONE exchange partitioned by gram (df count + posting rank off the same
+    shuffle — ReusedExchange dedups it across the consumers), then a per-doc
+    window for prefix selection. Returns (annotated, prefix):
+
+    - annotated(uid, g, _n, _df, _prk, _rk): every (doc, distinct-gram) row
+      with the doc's gram-set size, the gram's document frequency, the
+      row's uid-ascending rank within the gram's posting list, and the
+      gram's rank _rk within the DOC's canonical order (the positional
+      filter needs it on the index side too);
+    - prefix(uid, g, _n, _rk): each doc's first |G| - ceil(t'*|G|) + 1
+      grams in the global canonical order (df asc, gram asc),
+      t' = threshold - 1e-6 (slack for the verifier's 6dp rounding).
+    """
+    from pyspark.sql import Window
+
+    t_eff = threshold - 1e-6
+    text = F.coalesce(F.col(content_col).cast("string"), F.lit(""))
+    arr = F.when(
+        F.octet_length(text) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.octet_length(text) - (k - 1)),
+                lambda i: text.substr(i, F.lit(k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # the gram array expression must appear EXACTLY ONCE in the plan (inside
+    # the explode): a sibling size(arr) projection is re-evaluated per
+    # EXPLODED row — the whole sequence+transform+array_distinct, O(len^2)
+    # per doc — observed as a 390 s stage at sf0.1 vs ~3 s without it. _n is
+    # instead a count window over the uid partition, sharing _rk's exchange.
+    grams = units.select(F.col(id_col).alias("uid"), F.explode(arr).alias("g"))
+    annotated = (
+        grams.withColumn(
+            # grams are distinct per doc, so count(*) per gram == df
+            "_df",
+            F.count("*").over(Window.partitionBy("g")),
+        )
+        .withColumn(
+            "_prk", F.row_number().over(Window.partitionBy("g").orderBy("uid"))
+        )
+        .withColumn("_n", F.count("*").over(Window.partitionBy("uid")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("uid").orderBy(F.asc("_df"), F.asc("g"))
+            ),
+        )
+    )
+    prefix = annotated.filter(
+        F.col("_rk") <= F.col("_n") - F.ceil(F.lit(t_eff) * F.col("_n")) + 1
+    ).select("uid", "g", "_n", "_rk")
+    return annotated, prefix
+
+
 def prefix_filter_containment_candidates(
     units: DataFrame,
     id_col: str = "file_id",
     content_col: str = "content",
     threshold: float = 0.9,
     cfg=None,
+    max_posting: int | None = None,
+    probe_max_bytes: int | None = None,
 ) -> DataFrame:
-    """EXACT containment candidates via prefix filtering (the SSJoin/PPJoin
+    """Containment candidates via prefix filtering (the SSJoin/PPJoin
     family: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) — the corpus-wide
     shingle inverted index that closes the bag-of-grams boundary the
     run-based sources (anchors, word grams, banding) cannot reach
@@ -170,81 +235,135 @@ def prefix_filter_containment_candidates(
     must hit one of A's first |G_A| - ceil(t*|G_A|) + 1 grams in that order
     — otherwise the intersection is at most ceil(t*|G_A|) - 1 < t*|G_A|.
     So probing each doc's PREFIX (the ~(1-t) rarest fraction of its grams)
-    against an inverted index finds every pair whose smaller side is
-    t-contained in the larger, without an all-pairs join. (The verifier
-    compares the 6dp-ROUNDED ratio, so the prefix length uses t - 1e-6 —
-    the rounding slack — to keep the guarantee airtight.)
+    against the inverted index finds every pair whose smaller side is
+    t-contained in the larger, without an all-pairs join. A length filter
+    (|G_index| >= |G_probe|) keeps only the direction where the probe is
+    the contained (min-denominator) side — exactness is unaffected because
+    every pair is probed from both docs.
 
-    Scale shape: one df aggregate over exploded distinct grams (uniform
-    after the per-doc distinct), one per-doc window for prefix selection,
-    and the index side is SEMI-JOIN restricted to grams appearing in some
-    prefix (~(1-t) of corpus grams) before the candidate equi-join — the
-    full n_grams-row shuffle the r3 note warned about never materializes.
-    Prefix grams are the RAREST of each doc, so posting lists are short by
-    construction; lists that still exceed cfg.max_bucket_size (a doc whose
-    whole prefix is boilerplate grams) are DETERMINISTICALLY TRUNCATED to
-    the cap lowest uids — the same explicit bound as
-    short_doc_containment_candidates, never a silent filter. Candidates are
+    ``max_posting=None`` (default) is EXACT: candidate completeness is a
+    theorem, the mode the oracled query and the boundary-closure test pin.
+    KNOW THE REGIME before running exact mode at scale (measured numbers in
+    BENCH/PREFIXFILTER.md): on high-entropy corpora prefix grams are rare
+    and the filter prunes hard; on TEMPLATED corpora with a tiny gram
+    vocabulary (the sf0.1 documents table: most doc pairs share their
+    earliest canonical grams) the candidate set degenerates toward
+    all-pairs — not a filter defect but an output-size lower bound, since
+    the pairs genuinely share most of their grams and only exact
+    verification can separate 70% from 90% containment. Two bounded
+    recipes for that regime:
+
+    - ``max_posting=N``: posting lists DETERMINISTICALLY TRUNCATED to the
+      N lowest uids per gram (the short_doc_containment_candidates
+      convention), every elision accounted by
+      ``prefix_filter_posting_report`` — an explicit bound, never a silent
+      filter;
+    - ``probe_max_bytes=B``: probe only docs <= B bytes (index side stays
+      full). EXACT for every pair whose contained side is <= B — in
+      particular B = cfg.cdc_window covers the entire stratum the
+      run-based sources cannot reach (a >= 64-byte contained doc with 0.9
+      containment shares a 64-byte window with its container far more
+      often than not, and the anchor source fires) while the probe side
+      shrinks to the short-doc stratum. Compose with the run-based union
+      for the standard at-scale recipe.
+
+    Scale shape: ONE gram explode into ONE exchange partitioned by gram
+    (df + posting rank share it via ReusedExchange), one per-doc window for
+    prefix selection, then the candidate equi-join on the gram with the
+    PPJoin positional filter applied before the distinct. Candidates are
     always exact-verified downstream.
 
     ASCII corpora only for char==byte gram parity with shingle_set_u32
     (the same precondition the substring/containment oracles already rely
     on). Docs shorter than k have no grams here; their containment regime
     is byte equality, owned by exact dedup."""
-    from pyspark.sql import Window
-
     from hmse_spark.config import DEFAULT as _D
 
     cfg = cfg or _D
-    k = cfg.shingle_k
     t_eff = threshold - 1e-6
-    text = F.coalesce(F.col(content_col).cast("string"), F.lit(""))
-    grams = units.select(
-        F.col(id_col).alias("uid"),
-        F.explode(
-            F.when(
-                F.octet_length(text) >= k,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.octet_length(text) - (k - 1)),
-                        lambda i: text.substr(i, F.lit(k)),
-                    )
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
+    annotated, prefix = _prefix_gram_frames(
+        units, id_col, content_col, threshold, cfg.shingle_k
     )
-    # document frequency: grams are distinct per doc, so count(*) == df
-    dfreq = grams.groupBy("g").agg(F.count("*").alias("_df"))
-    sized = grams.join(dfreq, "g").withColumn(
-        "_n", F.count("*").over(Window.partitionBy("uid"))
+    postings = annotated
+    if max_posting is not None:
+        postings = postings.filter(F.col("_prk") <= max_posting)
+    postings = postings.select(
+        "g",
+        F.col("uid").alias("id_b"),
+        F.col("_n").alias("_nb"),
+        F.col("_rk").alias("_jb"),
     )
-    prefix = (
-        sized.withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("uid").orderBy(F.asc("_df"), F.asc("g"))
-            ),
-        )
-        .filter(F.col("_rk") <= F.col("_n") - F.ceil(F.lit(t_eff) * F.col("_n")) + 1)
-        .select("uid", "g")
+    # Positional filter (PPJoin): for the EARLIEST common gram of a true
+    # pair, at canonical ranks (i in A, j in B), the overlap is at most
+    # 1 + min(n_a - i, n_b - j) — so rows failing
+    # 1 + min(n_a - i, n_b - j) >= ceil(t'*n_a) can never witness a true
+    # pair, and a true pair's earliest-common-gram row (which IS in A's
+    # prefix, prefixes being canonical-order heads) always survives.
+    # Exactness is preserved; the distinct's shuffle input shrinks by the
+    # grams that matched only deep in both docs — the difference between
+    # O(all-pairs) and usable on templated corpora whose gram vocabulary
+    # is tiny (measured at sf0.1: 7.49M candidate pairs -> see
+    # BENCH/PREFIXFILTER.md).
+    overlap_bound = F.lit(1) + F.least(
+        F.col("_na") - F.col("_ia"), F.col("_nb") - F.col("_jb")
     )
-    postings = (
-        grams.join(prefix.select("g").distinct(), "g", "leftsemi")
-        .withColumn(
-            "_rk", F.row_number().over(Window.partitionBy("g").orderBy("uid"))
-        )
-        .filter(F.col("_rk") <= cfg.max_bucket_size)
-        .select("g", "uid")
-    )
+    if probe_max_bytes is not None:
+        sizes = units.select(
+            F.col(id_col).alias("uid"),
+            F.octet_length(
+                F.coalesce(F.col(content_col).cast("string"), F.lit(""))
+            ).alias("_bytes"),
+        ).filter(F.col("_bytes") <= probe_max_bytes)
+        prefix = prefix.join(sizes.select("uid"), "uid", "leftsemi")
     return (
-        prefix.select("g", F.col("uid").alias("id_a"))
-        .join(postings.select("g", F.col("uid").alias("id_b")), "g")
-        .filter(F.col("id_a") != F.col("id_b"))
+        prefix.select(
+            "g",
+            F.col("uid").alias("id_a"),
+            F.col("_n").alias("_na"),
+            F.col("_rk").alias("_ia"),
+        )
+        .join(postings, "g")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("_nb") >= F.col("_na"))
+            & (overlap_bound >= F.ceil(F.lit(t_eff) * F.col("_na")))
+        )
         .select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
         )
         .distinct()
+    )
+
+
+def prefix_filter_posting_report(
+    units: DataFrame,
+    id_col: str = "file_id",
+    content_col: str = "content",
+    threshold: float = 0.9,
+    cfg=None,
+    max_posting: int = 200,
+) -> DataFrame:
+    """No-silent-caps accounting for capped prefix-filter runs: per gram
+    whose posting list exceeds ``max_posting``, the kept and elided index
+    entries (the embedding_bucket_report convention). A capped candidate run
+    plus this report is the at-scale contract; the exact run needs neither."""
+    from hmse_spark.config import DEFAULT as _D
+
+    cfg = cfg or _D
+    annotated, _ = _prefix_gram_frames(
+        units, id_col, content_col, threshold, cfg.shingle_k
+    )
+    return (
+        annotated.groupBy("g")
+        .agg(F.max("_prk").alias("posting_size"))
+        .filter(F.col("posting_size") > max_posting)
+        .select(
+            "g",
+            F.col("posting_size").cast("long").alias("posting_size"),
+            F.lit(max_posting).cast("long").alias("kept"),
+            (F.col("posting_size") - max_posting).cast("long").alias("elided"),
+        )
     )
 
 

@@ -615,7 +615,16 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = emb.filter(F.col("vec_id") % 5 == 0).withColumn(
         "vec_id", F.col("vec_id") + 100000
     )
-    topk = similarity.ann_topk(emb.unionByName(copies), k=3, n_planes=4, n_bands=16)
+    # max_bucket_size pinned far above any reachable bucket: salting splits a
+    # bucket into salt groups, where base and copy can land apart in every
+    # band and the determinism claim dies. (At sf0.1 the largest bucket is
+    # 254 — two below the production default of 256; inheriting that default
+    # would leave the oracle one testdata refresh from a nondeterministic
+    # failure.)
+    topk = similarity.ann_topk(
+        emb.unionByName(copies), k=3, n_planes=4, n_bands=16,
+        max_bucket_size=1_000_000,
+    )
     return _ann_recall_report(topk)
 
 
@@ -632,7 +641,13 @@ def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = emb.filter(F.col("vec_id") % 5 == 0).withColumn(
         "vec_id", F.col("vec_id") + 100000
     )
-    topk = similarity.ivf_topk(emb.unionByName(copies), k=3, n_cells=8, n_probe=4)
+    # max_cell_size pinned un-saltable for the same reason as
+    # ann_recall_report's bucket cap: the planted-copy determinism argument
+    # requires base and copy to share an unsplit cell
+    topk = similarity.ivf_topk(
+        emb.unionByName(copies), k=3, n_cells=8, n_probe=4,
+        max_cell_size=1_000_000,
+    )
     return _ann_recall_report(topk)
 
 
@@ -1527,11 +1542,18 @@ def q_containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r3 documented boundary (bag-of-grams containment with no shared
     run); the closure itself is pinned at sf0.001 in
     tests/test_variants.py::test_prefix_filter_closes_bag_of_grams_boundary,
-    where the adversarial pairs live."""
+    where the adversarial pairs live. Runs the EXACT mode (max_posting=None
+    — completeness is a theorem, at any sf): the driver input is bounded,
+    and prefix grams here are only doc-relatively rare, so a capped run
+    would truncate real pairs (measured at sf0.1: cap 200 loses 21/300,
+    caught in the round-4 review). Capped mode + posting report is the
+    at-scale opt-in (verify.prefix_filter_posting_report)."""
     from hmse_spark.operators import verify
 
     docs = _containment_union_docs(spark, sf_dir)
-    cands = verify.prefix_filter_containment_candidates(docs, threshold=0.9)
+    cands = verify.prefix_filter_containment_candidates(
+        docs, threshold=0.9, max_posting=None
+    )
     return verify.containment_pairs(cands, docs, threshold=0.9)
 
 

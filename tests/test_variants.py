@@ -312,3 +312,36 @@ def test_prefix_filter_closes_bag_of_grams_boundary(spark):
     ]
     assert adversarial, "sf0.001 must still hold the documented boundary pairs"
     assert set(adversarial) <= got
+
+
+def test_prefix_filter_capped_mode_truncates_with_accounting(spark):
+    """Capped mode: posting lists truncate DETERMINISTICALLY to the cap
+    lowest uids and every elision shows up in the posting report — an
+    explicit bound, never a silent filter. (Exact mode is the default; the
+    round-4 review measured a default cap of 200 losing 21/300 true pairs
+    at sf0.1, which is why the cap is opt-in.)"""
+    from hmse_spark.operators import verify
+
+    shared = "identical boilerplate document body shared by everyone here"
+    docs = [(i, shared) for i in range(1, 9)]  # every pair is a true pair
+    df = spark.createDataFrame(docs, "file_id long, content string")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in verify.prefix_filter_containment_candidates(df, threshold=0.9).collect()
+    }
+    assert exact == {(a, b) for a in range(1, 9) for b in range(a + 1, 9)}
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in verify.prefix_filter_containment_candidates(
+            df, threshold=0.9, max_posting=3
+        ).collect()
+    }
+    # postings truncate to uids {1,2,3}: every kept pair touches that set
+    assert capped < exact
+    assert all(a <= 3 for a, _ in capped)
+
+    report = verify.prefix_filter_posting_report(df, max_posting=3).collect()
+    assert report, "oversized posting lists must be reported"
+    assert all(r["posting_size"] == 8 and r["kept"] == 3 and r["elided"] == 5 for r in report)
