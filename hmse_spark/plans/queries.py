@@ -251,6 +251,53 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "simhash_recall_report",
+    """
+    WITH u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+           CAST(0 AS INT) AS hamming
+    FROM u a JOIN u b
+      ON b.id = a.id + 100000 AND a.text = b.text
+    """,
+)
+def q_simhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash recall on the driver surface (the variant previously had only
+    rows-only + pytest coverage): exact copies of every 5th doc are planted
+    (re-keyed +100000, the embedding_near_dups pattern) and the full SimHash
+    path runs — fingerprint, 4x16-bit banding, bucket self-join, exact
+    Hamming verify — restricted to the planted (base, base+100000) pair
+    slots. Identical text gives identical fingerprints, hence identical
+    bands in EVERY band and Hamming 0, so each planted pair must surface
+    deterministically; the oracle computes the ground-truth pair set by
+    text equality (testdata has 500 distinct shas — no natural exact dups,
+    so text equality is exactly the planted set). A miss anywhere in the
+    banding/join/verify chain loses a row and fails the hash."""
+    from hmse_spark.operators import lsh, simhash
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, sf_dir).select("file_id", "content")
+    copies = corpus.filter(F.col("file_id") % 5 == 0).withColumn(
+        "file_id", F.col("file_id") + 100000
+    )
+    docs = corpus.unionByName(copies)
+    fp_df = simhash.add_simhash(docs).select("file_id", "simhash", "sim_bands")
+    pairs = lsh.candidate_pairs(simhash.explode_sim_bands(fp_df, "file_id"))
+    ver = simhash.verified_sim_pairs(pairs, fp_df, "file_id")
+    return (
+        ver.filter(F.col("id_b") == F.col("id_a") + 100000)
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.col("hamming").cast("int"),
+        )
+    )
+
+
 @register("lsh_bucket_histogram", None)
 def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hmse_spark.operators import lsh, minhash
