@@ -1,0 +1,174 @@
+"""Pure-stdlib/numpy media codecs for the multimodal operators.
+
+The container has no PIL/ffmpeg/librosa, but self-contained formats need
+none of them: netpbm images (PPM P6 / PGM P5) and PCM WAV audio decode with
+numpy + the stdlib ``wave`` module. These are REAL codecs — bytes in,
+pixels/samples out, round-trip tested — so the multimodal pipeline's
+decode / resize / feature steps do real work for these formats; only
+container/compressed formats (JPEG, PNG, H.264, MP3, ...) remain behind the
+documented stub (operators/multimodal.py).
+
+Everything is deterministic and per-batch vectorized; these functions run
+inside Arrow ``mapInPandas`` workers.
+"""
+
+from __future__ import annotations
+
+import io
+import wave
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# netpbm (PPM P6 rgb / PGM P5 gray), 8-bit maxval
+# --------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> PPM P6 bytes; (h, w) uint8 -> PGM P5 bytes."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 3 and img.shape[2] == 3:
+        magic = b"P6"
+    elif img.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"expected (h,w,3) or (h,w); got {img.shape}")
+    h, w = img.shape[0], img.shape[1]
+    return b"%s\n%d %d\n255\n" % (magic, w, h) + img.tobytes()
+
+
+def decode_netpbm(data: bytes) -> np.ndarray:
+    """PPM P6 -> (h, w, 3) uint8; PGM P5 -> (h, w) uint8.
+
+    Accepts the standard header grammar: magic, then whitespace-separated
+    width/height/maxval with ``#`` comments, then a single whitespace byte
+    before the raster."""
+    if data[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary netpbm payload")
+    magic = data[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace + comments
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        fields.append(int(data[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit netpbm supported (maxval {maxval})")
+    channels = 3 if magic == b"P6" else 1
+    need = w * h * channels
+    raster = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+    if raster.size != need:
+        raise ValueError("truncated netpbm raster")
+    return raster.reshape((h, w, 3) if channels == 3 else (h, w)).copy()
+
+
+# --------------------------------------------------------------------------
+# PCM WAV (16-bit), stdlib wave module
+# --------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n,) or (n, ch) int16 -> RIFF/WAVE PCM16 bytes."""
+    x = np.asarray(samples, dtype=np.int16)
+    if x.ndim == 1:
+        x = x[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(x.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(int(sample_rate))
+        wf.writeframes(x.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV PCM16 bytes -> ((n, ch) int16, sample_rate)."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError(f"only PCM16 WAV supported (width {wf.getsampwidth()})")
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        frames = wf.readframes(wf.getnframes())
+    x = np.frombuffer(frames, dtype="<i2")
+    return x.reshape(-1, nch).copy(), rate
+
+
+def sniff(data: bytes) -> str | None:
+    """Magic-number sniff: 'ppm' | 'pgm' | 'wav' | None (unsupported)."""
+    head = bytes(data[:12])
+    if head[:2] == b"P6":
+        return "ppm"
+    if head[:2] == b"P5":
+        return "pgm"
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# --------------------------------------------------------------------------
+# resize + features (numpy, deterministic)
+# --------------------------------------------------------------------------
+
+
+def resize_nn(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize (center-of-pixel mapping), up or down, for
+    (h, w[, c]) arrays. Deterministic; the standard cheap resize for
+    thumbnails/masks."""
+    h, w = img.shape[0], img.shape[1]
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return img[ys][:, xs]
+
+
+def luma(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) or (h, w) uint8 -> (h, w) float32 Rec.601 luma in [0, 255]."""
+    a = np.asarray(img, dtype=np.float32)
+    if a.ndim == 2:
+        return a
+    return a[:, :, 0] * 0.299 + a[:, :, 1] * 0.587 + a[:, :, 2] * 0.114
+
+
+def image_features(img: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Luma thumbnail features in [0, 1]: a sqrt(dim) x sqrt(dim) NN
+    thumbnail when dim is a perfect square, else dim equal-width bin means
+    over the flattened luma."""
+    lum = luma(img)
+    side = int(np.sqrt(dim))
+    if side * side == dim:
+        thumb = resize_nn(lum, side, side).ravel()
+        return (thumb / 255.0).astype(np.float32)
+    flat = lum.ravel()
+    bins = np.array_split(flat, dim)
+    return np.array(
+        [b.mean() / 255.0 if b.size else 0.0 for b in bins], dtype=np.float32
+    )
+
+
+def audio_features(samples: np.ndarray, sample_rate: int, dim: int = 16) -> np.ndarray:
+    """Log band-energy spectrum: mono-mix -> rfft power -> ``dim`` contiguous
+    band means -> log1p. Amplitude normalized to [-1, 1] so features are
+    bit-depth independent."""
+    x = np.asarray(samples, dtype=np.float32)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    if x.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    x = x / 32768.0
+    power = np.abs(np.fft.rfft(x)) ** 2 / x.size
+    bands = np.array_split(power, dim)
+    return np.array(
+        [np.log1p(b.mean()) if b.size else 0.0 for b in bands], dtype=np.float32
+    )

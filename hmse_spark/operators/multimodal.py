@@ -5,12 +5,21 @@ Training-data-pipeline extension. Image/audio/video payloads are opaque
 resize / frame-sample run as Arrow-batched ``mapInPandas`` so payload bytes
 never round-trip through Python row objects.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode step is STUBBED (clearly marked): ``decode=deterministic_fake`` yields
-a seeded, content-derived fake decode so the Spark-side plumbing — schema,
-partitioning, UDF signatures, batch shapes, byte accounting — is real and
-tested; ``decode=strict`` raises NotImplementedError where a real codec
-would be called.
+Codec reality (round 4): self-contained formats decode for REAL with
+pure-stdlib/numpy codecs (functions/media.py) — netpbm images (PPM P6 /
+PGM P5) and PCM16 WAV audio — so resize and feature extraction do actual
+pixel/sample work for them. Container/compressed formats (JPEG, PNG,
+H.264, MP3, ...) still need PIL/ffmpeg, which this container lacks; those
+payloads fall back to a clearly-marked deterministic fake in ``auto`` mode
+(``decode_ok=False`` flags every fallback row) and raise in ``strict``
+mode. Swap a real library into functions/media.py and the plumbing —
+schema, partitioning, UDF signatures, batch shapes, byte accounting — is
+unchanged.
+
+decode modes: ``auto`` (real codec when the payload sniffs as a supported
+format, deterministic fake otherwise), ``strict`` (raise on any payload a
+real codec can't handle), ``deterministic_fake`` (force the fake path —
+the plumbing-only mode earlier rounds shipped).
 """
 
 from __future__ import annotations
@@ -23,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hmse_spark.functions import media
+
 ASSET_SCHEMA = (
     "asset_id long, kind string, payload binary, "
     "meta struct<width:int, height:int, sample_rate:int, duration_ms:int, codec:string>"
@@ -33,30 +44,57 @@ FEATURE_SCHEMA = (
     "feature array<float>, decode_ok boolean"
 )
 
+_DECODE_MODES = ("auto", "strict", "deterministic_fake")
+
 
 def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake asset table for plumbing tests."""
+    """Deterministic asset table. Image payloads are REAL PPM files and
+    audio payloads REAL PCM16 WAVs (decodable by functions/media.py);
+    video payloads are opaque bytes with an h264 codec tag — the stub
+    stratum, exercising the fallback path."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(2_000, 20_000)), dtype=np.uint8).tobytes()
-        meta = {
-            "width": int(rng.integers(32, 1024)) if kind != "audio" else None,
-            "height": int(rng.integers(32, 1024)) if kind != "audio" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "duration_ms": int(rng.integers(100, 60_000)) if kind != "image" else None,
-            "codec": {"image": "png", "audio": "pcm16", "video": "h264"}[kind],
-        }
+        if kind == "image":
+            w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = media.encode_ppm(img)
+            meta = {
+                "width": w, "height": h, "sample_rate": None,
+                "duration_ms": None, "codec": "ppm",
+            }
+        elif kind == "audio":
+            rate = 16000
+            n_samp = int(rng.integers(1600, 32000))
+            t = np.arange(n_samp, dtype=np.float64)
+            freq = float(rng.uniform(100, 2000))
+            x = 0.5 * np.sin(2 * np.pi * freq * t / rate)
+            x += 0.05 * rng.standard_normal(n_samp)
+            payload = media.encode_wav((x * 20000).astype(np.int16), rate)
+            meta = {
+                "width": None, "height": None, "sample_rate": rate,
+                "duration_ms": int(n_samp * 1000 / rate), "codec": "pcm16_wav",
+            }
+        else:
+            payload = rng.integers(
+                0, 256, size=int(rng.integers(2_000, 20_000)), dtype=np.uint8
+            ).tobytes()
+            meta = {
+                "width": int(rng.integers(32, 1024)),
+                "height": int(rng.integers(32, 1024)),
+                "sample_rate": None,
+                "duration_ms": int(rng.integers(100, 60_000)),
+                "codec": "h264",
+            }
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
-def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic content-derived fake 'decoded features': the container
-    has no image/audio codecs (documented stub). Replace with a real decoder
-    by swapping this function; the batch plumbing is unchanged."""
+def _fake_features(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic content-derived FAKE features for payloads no real
+    codec here can decode (documented stub path; decode_ok=False)."""
     buf = np.frombuffer(payload, dtype=np.uint8)
     take = (buf.size // dim) * dim
     if take == 0:
@@ -64,23 +102,43 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return buf[:take].reshape(-1, dim).mean(axis=0).astype(np.float32) / 255.0
 
 
+def _real_features(payload: bytes, dim: int) -> np.ndarray | None:
+    """Real decode + features when the payload sniffs as a supported
+    format; None otherwise."""
+    fmt = media.sniff(payload)
+    if fmt in ("ppm", "pgm"):
+        return media.image_features(media.decode_netpbm(payload), dim)
+    if fmt == "wav":
+        samples, rate = media.decode_wav(payload)
+        return media.audio_features(samples, rate, dim)
+    return None
+
+
 def extract_features(
-    assets: DataFrame, dim: int = 16, decode: str = "deterministic_fake"
+    assets: DataFrame, dim: int = 16, decode: str = "auto"
 ) -> DataFrame:
-    """mapInPandas feature extraction: one Arrow batch in, one out. The real
-    decode hook sits where _fake_decode is called."""
+    """mapInPandas feature extraction: one Arrow batch in, one out.
+    ``decode_ok`` is True iff a REAL codec decoded the payload (luma
+    thumbnail for images, FFT band energies for audio)."""
     import hashlib
 
-    if decode not in ("deterministic_fake", "strict"):
+    if decode not in _DECODE_MODES:
         raise ValueError(decode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "strict":
-                raise NotImplementedError(
-                    "real image/audio/video codecs are not available in this "
-                    "container; use decode='deterministic_fake' for plumbing"
-                )
+            feats, oks = [], []
+            for p in pdf["payload"]:
+                payload = bytes(p)
+                real = None if decode == "deterministic_fake" else _real_features(payload, dim)
+                if real is None and decode == "strict":
+                    raise NotImplementedError(
+                        "payload is not a supported self-contained format "
+                        "(netpbm/PCM-WAV); container codecs (JPEG/PNG/H.264/"
+                        "MP3) need PIL/ffmpeg, absent in this container"
+                    )
+                feats.append((real if real is not None else _fake_features(payload, dim)).tolist())
+                oks.append(real is not None)
             payloads = [bytes(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
@@ -88,8 +146,8 @@ def extract_features(
                     "kind": pdf["kind"],
                     "n_bytes": [len(p) for p in payloads],
                     "sha": [hashlib.sha256(p).hexdigest() for p in payloads],
-                    "feature": [_fake_decode(p, dim).tolist() for p in payloads],
-                    "decode_ok": True,
+                    "feature": feats,
+                    "decode_ok": oks,
                 }
             )
 
@@ -104,42 +162,54 @@ RESIZED_SCHEMA = (
 
 
 def resize_images(
-    assets: DataFrame, width: int, height: int, decode: str = "deterministic_fake"
+    assets: DataFrame, width: int, height: int, decode: str = "auto"
 ) -> DataFrame:
-    """Resize plumbing for image assets: one Arrow batch in, one out, typed
-    metadata rewritten to the target dimensions, original dims preserved as
-    audit columns. Non-image rows pass through untouched (payload + meta
-    unchanged) so the op composes with mixed-modality tables.
+    """Resize for image assets: one Arrow batch in, one out, typed metadata
+    rewritten to the target dimensions, original dims preserved as audit
+    columns. Non-image rows pass through untouched so the op composes with
+    mixed-modality tables.
 
-    The pixel work itself sits behind the same documented codec stub as
-    extract_features: ``deterministic_fake`` derives a content-seeded fake
-    payload of plausible size (so byte accounting downstream is exercised);
-    ``strict`` raises where PIL/ffmpeg would be called."""
-    if decode not in ("deterministic_fake", "strict"):
+    Sniffable netpbm payloads get a REAL nearest-neighbor resize
+    (decode -> resize_nn -> re-encode, functions/media.py); other image
+    payloads follow the documented fake path in ``auto`` (content-derived
+    bytes sized ~ w*h/8 so byte accounting reacts to the target resolution)
+    and raise in ``strict``."""
+    if decode not in _DECODE_MODES:
         raise ValueError(decode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "strict":
-                raise NotImplementedError(
-                    "real image codecs are not available in this container; "
-                    "use decode='deterministic_fake' for plumbing"
-                )
             out_payload, out_meta, ow, oh = [], [], [], []
             for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
-                meta = dict(meta)
+                # NULL meta must not kill the worker: synthesize an empty
+                # struct and let the resize fill in the target dims
+                meta = dict(meta) if meta is not None else {
+                    "width": None, "height": None, "sample_rate": None,
+                    "duration_ms": None, "codec": None,
+                }
                 ow.append(meta.get("width"))
                 oh.append(meta.get("height"))
                 if kind != "image":
                     out_payload.append(payload)
                     out_meta.append(meta)
                     continue
-                # fake resize: content-derived bytes, sized ~ w*h/8 so the
-                # stored-bytes accounting reacts to the target resolution
-                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
-                target = max(width * height // 8, 16)
-                reps = int(np.ceil(target / max(buf.size, 1)))
-                out_payload.append(np.tile(buf, reps)[:target].tobytes())
+                payload = bytes(payload)
+                fmt = None if decode == "deterministic_fake" else media.sniff(payload)
+                if fmt in ("ppm", "pgm"):
+                    img = media.decode_netpbm(payload)
+                    out_payload.append(media.encode_ppm(media.resize_nn(img, width, height)))
+                elif decode == "strict":
+                    raise NotImplementedError(
+                        "image payload is not netpbm; real JPEG/PNG resize "
+                        "needs PIL, absent in this container"
+                    )
+                else:
+                    # fake resize: content-derived bytes, sized ~ w*h/8 so
+                    # stored-bytes accounting reacts to the target resolution
+                    buf = np.frombuffer(payload, dtype=np.uint8)
+                    target = max(width * height // 8, 16)
+                    reps = int(np.ceil(target / max(buf.size, 1)))
+                    out_payload.append(np.tile(buf, reps)[:target].tobytes())
                 meta["width"], meta["height"] = width, height
                 out_meta.append(meta)
             yield pd.DataFrame(

@@ -290,8 +290,10 @@ def test_multimodal_features(spark):
     assert len(feats) == 30
     for r in feats:
         assert len(r["feature"]) == 16
-        assert r["decode_ok"]
         assert r["n_bytes"] > 0
+        # REAL decode for the self-contained formats (PPM images, PCM WAV
+        # audio); only the h264-tagged video stratum takes the fake path
+        assert r["decode_ok"] == (r["kind"] in ("image", "audio"))
     # determinism
     feats2 = multimodal.extract_features(multimodal.synthesize_assets(spark, n=30), dim=16).collect()
     a = {r["asset_id"]: r["feature"] for r in feats}
@@ -300,9 +302,74 @@ def test_multimodal_features(spark):
 
 
 def test_multimodal_strict_stub_raises(spark):
-    assets = multimodal.synthesize_assets(spark, n=3)
+    assets = multimodal.synthesize_assets(spark, n=3)  # includes a video row
     with pytest.raises(Exception):
         multimodal.extract_features(assets, decode="strict").collect()
+    # strict is fine on the decodable strata alone
+    ia = assets.filter("kind != 'video'")
+    rows = multimodal.extract_features(ia, decode="strict").collect()
+    assert rows and all(r["decode_ok"] for r in rows)
+
+
+def test_media_codecs_roundtrip():
+    import numpy as np
+
+    from hmse_spark.functions import media
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(21, 33, 3), dtype=np.uint8)
+    assert np.array_equal(media.decode_netpbm(media.encode_ppm(img)), img)
+    gray = rng.integers(0, 256, size=(7, 9), dtype=np.uint8)
+    assert np.array_equal(media.decode_netpbm(media.encode_ppm(gray)), gray)
+    x = (rng.standard_normal((1234, 2)) * 8000).astype(np.int16)
+    decoded, rate = media.decode_wav(media.encode_wav(x, 22050))
+    assert rate == 22050 and np.array_equal(decoded, x)
+    assert media.sniff(media.encode_ppm(img)) == "ppm"
+    assert media.sniff(media.encode_wav(x, 22050)) == "wav"
+    assert media.sniff(b"\x89PNG\r\n") is None
+
+
+def test_media_resize_and_features():
+    import numpy as np
+
+    from hmse_spark.functions import media
+
+    # NN resize: a 2x2 checkerboard upsampled 2x keeps the quadrant values
+    img = np.array([[0, 255], [255, 0]], dtype=np.uint8)
+    up = media.resize_nn(img, 4, 4)
+    assert up.shape == (4, 4)
+    assert up[0, 0] == 0 and up[0, 3] == 255 and up[3, 0] == 255 and up[3, 3] == 0
+    # image features reflect pixel content, not payload bytes
+    black = np.zeros((16, 16, 3), dtype=np.uint8)
+    white = np.full((16, 16, 3), 255, dtype=np.uint8)
+    fb, fw = media.image_features(black, 16), media.image_features(white, 16)
+    assert float(fb.max()) == 0.0 and abs(float(fw.min()) - 1.0) < 1e-6
+    # audio features: a pure tone concentrates energy in one band
+    rate, n = 16000, 16000
+    t = np.arange(n)
+    tone = (np.sin(2 * np.pi * 1000 * t / rate) * 20000).astype(np.int16)
+    f = media.audio_features(tone, rate, 16)
+    # expected band = the array_split band holding rfft bin 1000 (1 kHz)
+    splits = np.array_split(np.arange(n // 2 + 1), 16)
+    expected = next(i for i, s in enumerate(splits) if 1000 in s)
+    assert int(np.argmax(f)) == expected
+    assert f[np.argmax(f)] > 10 * np.median(f)
+
+
+def test_multimodal_real_resize_roundtrip(spark):
+    import numpy as np
+
+    from hmse_spark.functions import media
+
+    assets = multimodal.synthesize_assets(spark, n=12)
+    out = multimodal.resize_images(assets, width=24, height=18).collect()
+    for r in out:
+        if r["kind"] != "image":
+            continue
+        assert (r["meta"]["width"], r["meta"]["height"]) == (24, 18)
+        img = media.decode_netpbm(bytes(r["payload"]))
+        assert img.shape == (18, 24, 3)
+        assert (r["orig_width"], r["orig_height"]) != (24, 18) or True
 
 
 def test_frame_sample_plan(spark):
@@ -338,6 +405,8 @@ def test_ivf_centroids_deterministic(spark):
 
 
 def test_multimodal_resize_plumbing(spark):
+    from hmse_spark.functions import media
+
     assets = multimodal.synthesize_assets(spark, n=24)
     out = multimodal.resize_images(assets, width=64, height=48).collect()
     assert len(out) == 24
@@ -345,15 +414,31 @@ def test_multimodal_resize_plumbing(spark):
         if r["kind"] == "image":
             assert r["meta"]["width"] == 64 and r["meta"]["height"] == 48
             assert r["orig_width"] is not None
-            assert len(r["payload"]) == max(64 * 48 // 8, 16)
+            # REAL resize: the output payload is a decodable 48x64 PPM
+            assert media.decode_netpbm(bytes(r["payload"])).shape == (48, 64, 3)
         else:
             assert r["meta"]["width"] == r["orig_width"]  # untouched passthrough
+    # a non-netpbm image payload (container format) takes the documented
+    # fake path in auto mode: content-derived bytes sized ~ w*h/8
+    fake = spark.createDataFrame(
+        [(99, "image", b"\x89PNG fake compressed bytes", None)],
+        multimodal.ASSET_SCHEMA,
+    )
+    frow = multimodal.resize_images(fake, width=64, height=48).collect()[0]
+    assert len(frow["payload"]) == max(64 * 48 // 8, 16)
 
 
 def test_multimodal_resize_strict_raises(spark):
+    # strict succeeds on netpbm-decodable synthesized images...
     assets = multimodal.synthesize_assets(spark, n=3)
-    with pytest.raises(Exception, match="NotImplementedError|not available"):
-        multimodal.resize_images(assets, 32, 32, decode="strict").collect()
+    assert multimodal.resize_images(assets, 32, 32, decode="strict").count() == 3
+    # ...and raises on a container-format image payload
+    fake = spark.createDataFrame(
+        [(99, "image", b"\x89PNG fake compressed bytes", None)],
+        multimodal.ASSET_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|needs PIL"):
+        multimodal.resize_images(fake, 32, 32, decode="strict").collect()
 
 
 def test_ivf_topk_empty_input(spark):
