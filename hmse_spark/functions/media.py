@@ -67,6 +67,10 @@ def decode_netpbm(data: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"only 8-bit netpbm supported (maxval {maxval})")
+    if w <= 0 or h <= 0:
+        # a zero-dim "image" would flow into resize/features as an empty
+        # array and crash index math downstream; reject it at the codec
+        raise ValueError(f"degenerate netpbm dimensions {w}x{h}")
     channels = 3 if magic == b"P6" else 1
     need = w * h * channels
     raster = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
@@ -128,6 +132,11 @@ def resize_nn(img: np.ndarray, width: int, height: int) -> np.ndarray:
     (h, w[, c]) arrays. Deterministic; the standard cheap resize for
     thumbnails/masks."""
     h, w = img.shape[0], img.shape[1]
+    if h == 0 or w == 0:
+        # empty source: an all-zero target of the requested shape beats an
+        # IndexError from the -1 index clamp below
+        shape = (height, width) + img.shape[2:]
+        return np.zeros(shape, dtype=img.dtype)
     ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
     xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
     return img[ys][:, xs]

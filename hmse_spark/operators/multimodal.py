@@ -102,15 +102,21 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return buf[:take].reshape(-1, dim).mean(axis=0).astype(np.float32) / 255.0
 
 
-def _real_features(payload: bytes, dim: int) -> np.ndarray | None:
-    """Real decode + features when the payload sniffs as a supported
-    format; None otherwise."""
+def _real_features(payload: bytes, dim: int, strict: bool) -> np.ndarray | None:
+    """Real decode + features when the payload sniffs as a supported format
+    AND decodes cleanly; None otherwise. In ``auto`` a payload that sniffs
+    right but fails to decode (odd bit depth, truncated raster, text that
+    happens to start with 'P5') falls back — only ``strict`` propagates."""
     fmt = media.sniff(payload)
-    if fmt in ("ppm", "pgm"):
-        return media.image_features(media.decode_netpbm(payload), dim)
-    if fmt == "wav":
-        samples, rate = media.decode_wav(payload)
-        return media.audio_features(samples, rate, dim)
+    try:
+        if fmt in ("ppm", "pgm"):
+            return media.image_features(media.decode_netpbm(payload), dim)
+        if fmt == "wav":
+            samples, rate = media.decode_wav(payload)
+            return media.audio_features(samples, rate, dim)
+    except ValueError:
+        if strict:
+            raise
     return None
 
 
@@ -127,10 +133,15 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, oks = [], []
+            feats, oks, n_bytes, shas = [], [], [], []
             for p in pdf["payload"]:
+                # materialize the Arrow buffer to bytes exactly once per row
                 payload = bytes(p)
-                real = None if decode == "deterministic_fake" else _real_features(payload, dim)
+                real = (
+                    None
+                    if decode == "deterministic_fake"
+                    else _real_features(payload, dim, strict=decode == "strict")
+                )
                 if real is None and decode == "strict":
                     raise NotImplementedError(
                         "payload is not a supported self-contained format "
@@ -139,13 +150,14 @@ def extract_features(
                     )
                 feats.append((real if real is not None else _fake_features(payload, dim)).tolist())
                 oks.append(real is not None)
-            payloads = [bytes(p) for p in pdf["payload"]]
+                n_bytes.append(len(payload))
+                shas.append(hashlib.sha256(payload).hexdigest())
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(p) for p in payloads],
-                    "sha": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "n_bytes": n_bytes,
+                    "sha": shas,
                     "feature": feats,
                     "decode_ok": oks,
                 }
@@ -195,8 +207,16 @@ def resize_images(
                     continue
                 payload = bytes(payload)
                 fmt = None if decode == "deterministic_fake" else media.sniff(payload)
+                img = None
                 if fmt in ("ppm", "pgm"):
-                    img = media.decode_netpbm(payload)
+                    try:
+                        img = media.decode_netpbm(payload)
+                    except ValueError:
+                        # sniffed right but failed to decode: auto falls back
+                        # to the fake path, strict propagates
+                        if decode == "strict":
+                            raise
+                if img is not None:
                     out_payload.append(media.encode_ppm(media.resize_nn(img, width, height)))
                 elif decode == "strict":
                     raise NotImplementedError(

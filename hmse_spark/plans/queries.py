@@ -277,6 +277,9 @@ def q_simhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     text equality (testdata has 500 distinct shas — no natural exact dups,
     so text equality is exactly the planted set). A miss anywhere in the
     banding/join/verify chain loses a row and fails the hash."""
+    import dataclasses
+
+    from hmse_spark.config import DEFAULT
     from hmse_spark.operators import lsh, simhash
     from hmse_spark.sources.tables import documents_as_corpus
 
@@ -286,7 +289,12 @@ def q_simhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = corpus.unionByName(copies)
     fp_df = simhash.add_simhash(docs).select("file_id", "simhash", "sim_bands")
-    pairs = lsh.candidate_pairs(simhash.explode_sim_bands(fp_df, "file_id"))
+    # max_bucket_size pinned un-cappable, same reason as ann_recall_report:
+    # the hub-star cap emits only (bucket-min, member) pairs for oversized
+    # 16-bit band buckets, and the direct (base, base+100000) pair this
+    # query filters for would vanish whenever base is not the bucket min
+    no_cap = dataclasses.replace(DEFAULT, max_bucket_size=1_000_000)
+    pairs = lsh.candidate_pairs(simhash.explode_sim_bands(fp_df, "file_id"), no_cap)
     ver = simhash.verified_sim_pairs(pairs, fp_df, "file_id")
     return (
         ver.filter(F.col("id_b") == F.col("id_a") + 100000)

@@ -356,12 +356,35 @@ def test_media_resize_and_features():
     assert f[np.argmax(f)] > 10 * np.median(f)
 
 
+def test_multimodal_auto_falls_back_on_corrupt_sniff(spark):
+    """auto mode must NOT crash the job on payloads that sniff as a
+    supported format but fail to decode (truncated raster, 16-bit netpbm,
+    text starting with 'P5') — they take the fake path with
+    decode_ok=False; only strict propagates the codec error."""
+    rows = [
+        (1, "image", b"P6\n10 10\n255\nshort", None),        # truncated raster
+        (2, "image", b"P5 is a nice format actually", None),  # text, sniffs P5
+        (3, "image", b"P6\n0 0\n255\n", None),                # degenerate dims
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    feats = multimodal.extract_features(assets).collect()
+    assert len(feats) == 3 and all(not r["decode_ok"] for r in feats)
+    out = multimodal.resize_images(assets, 8, 8).collect()
+    assert len(out) == 3
+    with pytest.raises(Exception, match="netpbm|truncated|degenerate"):
+        multimodal.extract_features(assets, decode="strict").collect()
+
+
 def test_multimodal_real_resize_roundtrip(spark):
     import numpy as np
 
     from hmse_spark.functions import media
 
     assets = multimodal.synthesize_assets(spark, n=12)
+    src_dims = {
+        r["asset_id"]: (r["meta"]["width"], r["meta"]["height"])
+        for r in assets.filter("kind = 'image'").collect()
+    }
     out = multimodal.resize_images(assets, width=24, height=18).collect()
     for r in out:
         if r["kind"] != "image":
@@ -369,7 +392,8 @@ def test_multimodal_real_resize_roundtrip(spark):
         assert (r["meta"]["width"], r["meta"]["height"]) == (24, 18)
         img = media.decode_netpbm(bytes(r["payload"]))
         assert img.shape == (18, 24, 3)
-        assert (r["orig_width"], r["orig_height"]) != (24, 18) or True
+        # audit columns preserve the SOURCE dims, not the target
+        assert (r["orig_width"], r["orig_height"]) == src_dims[r["asset_id"]]
 
 
 def test_frame_sample_plan(spark):
