@@ -159,10 +159,15 @@ def _prefix_gram_frames(
     threshold: float,
     k: int,
 ):
-    """Shared plumbing for the prefix-filter index: one gram explode feeding
-    ONE exchange partitioned by gram (df count + posting rank off the same
-    shuffle — ReusedExchange dedups it across the consumers), then a per-doc
-    window for prefix selection. Returns (annotated, prefix):
+    """Shared plumbing for the prefix-filter index: one gram explode into a
+    gram-partitioned exchange (df count + posting rank off the same
+    shuffle), then a per-doc window for prefix selection. NOTE: the physical
+    plan instantiates this subtree once per consumer (probe side and index
+    side) — Spark's exchange-reuse did not fire on it (checked r4, explain
+    shows two Generate→Exchange chains); at bench scale the duplicate
+    subtree costs ~2 s, and an at-scale caller who cares should persist the
+    ``annotated`` frame around the candidate join. Returns
+    (annotated, prefix):
 
     - annotated(uid, g, _n, _df, _prk, _rk): every (doc, distinct-gram) row
       with the doc's gram-set size, the gram's document frequency, the
@@ -267,11 +272,12 @@ def prefix_filter_containment_candidates(
       shrinks to the short-doc stratum. Compose with the run-based union
       for the standard at-scale recipe.
 
-    Scale shape: ONE gram explode into ONE exchange partitioned by gram
-    (df + posting rank share it via ReusedExchange), one per-doc window for
-    prefix selection, then the candidate equi-join on the gram with the
-    PPJoin positional filter applied before the distinct. Candidates are
-    always exact-verified downstream.
+    Scale shape: a gram explode into a gram-partitioned exchange (df +
+    posting rank), a per-doc window for prefix selection, then the
+    candidate equi-join on the gram with the PPJoin positional filter
+    applied before the distinct. The probe and index sides each
+    instantiate the gram subtree (see _prefix_gram_frames' note on
+    exchange reuse). Candidates are always exact-verified downstream.
 
     ASCII corpora only for char==byte gram parity with shingle_set_u32
     (the same precondition the substring/containment oracles already rely
