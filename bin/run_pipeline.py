@@ -52,6 +52,18 @@ def main(argv: list[str] | None = None) -> None:
     # spark-submit provides the session config (master, executors, --conf);
     # only engine-required settings are layered on top here.
     builder = SparkSession.builder.appName("hmse_near_dup_pipeline")
+    from pyspark import SparkConf
+
+    if SparkConf().get("spark.master", None) is None:
+        # plain-python local run (no spark-submit conf): size the single
+        # local JVM explicitly — the bare builder otherwise inherits the 1g
+        # driver default, which flakily OOMs content-heavy stages at
+        # local[32] (r4 stress: 10-15 MB vector allocations failing)
+        from hmse_spark.session import local_jvm_confs
+
+        for k, v in local_jvm_confs().items():
+            builder = builder.config(k, v)
+        builder = builder.config("spark.sql.parquet.columnarReaderBatchSize", "1024")
     builder = builder.config("spark.sql.adaptive.enabled", "true")
     builder = builder.config("spark.sql.adaptive.skewJoin.enabled", "true")
     # keep post-shuffle parallelism on small inputs (see session.py)
