@@ -249,14 +249,18 @@ def prefix_filter_containment_candidates(
     ``max_posting=None`` (default) is EXACT: candidate completeness is a
     theorem, the mode the oracled query and the boundary-closure test pin.
     KNOW THE REGIME before running exact mode at scale (measured numbers in
-    BENCH/PREFIXFILTER.md): on high-entropy corpora prefix grams are rare
-    and the filter prunes hard; on TEMPLATED corpora with a tiny gram
-    vocabulary (the sf0.1 documents table: most doc pairs share their
-    earliest canonical grams) the candidate set degenerates toward
-    all-pairs — not a filter defect but an output-size lower bound, since
-    the pairs genuinely share most of their grams and only exact
-    verification can separate 70% from 90% containment. Two bounded
-    recipes for that regime:
+    BENCH/PREFIXFILTER.md): with k=4 BYTE grams the gram universe is small
+    relative to any real text/code corpus, so most doc pairs share even
+    their rarest grams and the candidate set sits at 45-60% of all pairs
+    (measured on BOTH the templated documents table and the 40k synthetic
+    source-code corpus). That is an output-structure property of 4-byte
+    grams, not a filter defect — the pairs genuinely share grams, and only
+    exact verification separates 70% from 90% containment. Exact mode is
+    therefore for BOUNDED inputs (the oracle queries, adversarial-recall
+    audits of a suspect stratum); classic SSJoin pruning power requires a
+    token universe much larger than the corpus (word tokens, large
+    shingles), which would change the containment metric itself. Two
+    bounded recipes for corpus scale:
 
     - ``max_posting=N``: posting lists DETERMINISTICALLY TRUNCATED to the
       N lowest uids per gram (the short_doc_containment_candidates
