@@ -413,6 +413,67 @@ def repeated_wordgrams(
     )
 
 
+def charlm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Corpus-trained character-trigram LM cross-entropy per document — the
+    CCNet-style perplexity quality filter (Wenzek et al., LREC 2020 train a
+    LM and drop high-perplexity docs; here the corpus itself is the training
+    set, so boilerplate-like text scores low bits/char and out-of-
+    distribution noise scores high).
+
+    Model: P(c | ab) = (C3(abc) + alpha) / (C2(ab) + alpha*256), add-alpha
+    smoothing over the 256-value next-byte alphabet, where C3 counts
+    trigram OCCURRENCES corpus-wide and C2(ab) = sum_c C3(abc) (bigram
+    counts over exactly the conditioning positions, derived from the
+    trigram table — self-consistent by construction). Per doc:
+    cross_entropy = -avg(log2 P) over its trigram positions.
+
+    Scale shape: one trigram-occurrence count aggregate (map-side combined,
+    zipfian keys), a tiny trigram->bigram rollup, one per-trigram logp
+    table joined back to the exploded positions (broadcast when the gram
+    vocabulary is small, shuffle otherwise — AQE decides), one per-doc
+    aggregate. Pure column expressions; no Python. Docs shorter than 3
+    bytes have no trigram positions and drop out (cross-entropy is
+    undefined for them).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    tri_arr = F.when(
+        F.length(t) >= 3,
+        F.transform(F.sequence(F.lit(1), F.length(t) - 2), lambda i: t.substr(i, F.lit(3))),
+    ).otherwise(F.array().cast("array<string>"))
+    # the array expression appears exactly ONCE, inside the explode — a
+    # sibling projection over it is re-evaluated per exploded row
+    # (the r4 prefix-filter plan bug; see docs/PHYSICAL_PLANS.md §12)
+    grams = df.select(F.col(id_col), F.explode(tri_arr).alias("tri"))
+    tri_counts = grams.groupBy("tri").agg(F.count("*").alias("_c3"))
+    bi_counts = tri_counts.groupBy(F.substring("tri", 1, 2).alias("_bi")).agg(
+        F.sum("_c3").alias("_c2")
+    )
+    logp = (
+        tri_counts.withColumn("_bi", F.substring("tri", 1, 2))
+        .join(bi_counts, "_bi")
+        .withColumn(
+            "_logp",
+            F.log2(
+                (F.col("_c3") + F.lit(alpha)) / (F.col("_c2") + F.lit(alpha * 256.0))
+            ),
+        )
+        .select("tri", "_logp")
+    )
+    return (
+        grams.join(logp, "tri")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.round(-F.avg("_logp"), 6).alias("cross_entropy"),
+        )
+    )
+
+
 # --- document fingerprinting (rolling-hash winnowing) ----------------------
 
 

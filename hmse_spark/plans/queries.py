@@ -916,6 +916,45 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "charlm_quality_scores",
+    """
+    WITH tri AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(text) - 1),
+                                   i -> substr(text, CAST(i AS INT), 3))) AS tri
+      FROM documents WHERE length(text) >= 3
+    ), c3 AS (
+      SELECT tri, COUNT(*) AS n3 FROM tri GROUP BY tri
+    ), c2 AS (
+      SELECT substr(tri, 1, 2) AS bi, SUM(n3) AS n2 FROM c3 GROUP BY bi
+    ), logp AS (
+      SELECT c3.tri, log2((c3.n3 + 1.0) / (c2.n2 + 256.0)) AS lp
+      FROM c3 JOIN c2 ON substr(c3.tri, 1, 2) = c2.bi
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(ROUND(-AVG(l.lp), 6) AS DOUBLE) AS cross_entropy
+    FROM tri t JOIN logp l ON t.tri = l.tri
+    GROUP BY t.doc_id
+    """,
+)
+def q_charlm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained character-trigram LM cross-entropy per document — the
+    CCNet-style perplexity quality filter (functions/text.py::charlm_scores,
+    add-1 smoothing over the 256-byte next-char alphabet). The oracle
+    retrains the identical model in SQL (occurrence counts, the same
+    smoothing constants, the same self-consistent bigram rollup), so a hash
+    match certifies the count aggregates, the probability arithmetic, AND
+    the per-doc averaging cross-engine to 6dp."""
+    from hmse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return T.charlm_scores(docs).select(
+        F.col("doc_id").cast("long"), "n_trigrams", "cross_entropy"
+    )
+
+
 @register("multimodal_features", None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-surface form: the raw `feature array<float>` stays an internal
@@ -1891,8 +1930,10 @@ _ROWS_ONLY_PRIORITY = [
     "chunk_store_metrics",
     "roundtrip_fidelity",
     "lsh_bucket_histogram",
-    "minhash_signatures",
     "training_data_curation",
+    # signature projection: sig correctness is already hard-certified by
+    # murmur3 published-vector parity pytest + the oracled near-dup chain
+    "minhash_signatures",
     # no-silent-caps accounting reports for the capped bucketed joins
     "embedding_bucket_report",
     "ivf_cell_report",

@@ -588,3 +588,28 @@ def test_stratified_sample_rates(spark):
     assert not any(r["lang"] == "xx" for r in got)
     # en stratum: ids i%3==0 with i%100<50 -> exactly 50 of them
     assert sum(1 for r in got if r["lang"] == "en") == 50
+
+
+def test_charlm_scores_semantics(spark):
+    """Corpus-trained trigram cross-entropy: in-distribution repetitive text
+    must score LOWER bits/char than out-of-distribution random noise, and a
+    doc made purely of the corpus's dominant pattern scores lowest."""
+    import numpy as np
+
+    from hmse_spark.functions.text import charlm_scores
+
+    rng = np.random.default_rng(11)
+    noise = "".join(chr(int(c)) for c in rng.integers(33, 127, 300))
+    rows = [(i, "the cat sat on the mat. " * 12) for i in range(8)]
+    rows.append((100, noise))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["cross_entropy"] for r in charlm_scores(df).collect()}
+    assert len(got) == 9
+    common = max(v for k, v in got.items() if k < 100)
+    assert got[100] > common + 1.0, (got[100], common)
+    # n_trigrams bookkeeping: len-2 positions per doc
+    n = {r["doc_id"]: r["n_trigrams"] for r in charlm_scores(df).collect()}
+    assert n[100] == len(noise) - 2
+    # docs shorter than 3 bytes have no trigram positions and drop out
+    tiny = spark.createDataFrame([(1, "ab"), (2, "abcd")], "doc_id long, text string")
+    assert {r["doc_id"] for r in charlm_scores(tiny).collect()} == {2}
