@@ -474,6 +474,60 @@ def charlm_scores(
     )
 
 
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Gopher/MassiveText-style within-document repetition filters (Rae et
+    al. 2021 drop docs exceeding thresholds on exactly these ratios):
+
+    - ``dup_line_frac``: fraction of lines that are repeats of another line
+      (1 - distinct/total);
+    - ``dup_ngram_frac``: same for word ``ngram_n``-grams;
+    - ``top_word_frac``: occurrences of the most frequent word / total
+      words — catches keyword-stuffed spam.
+
+    Every metric is per-doc array math (split / array_distinct / filter
+    inside whole-stage codegen) — an embarrassingly parallel filter pass
+    with NO exchange at any scale; the downstream threshold filter pushes
+    to the scan. top_word_frac is O(distinct_words x words) per doc, the
+    standard small-doc trade for staying shuffle-free (an exploded
+    mode-aggregate would add a corpus-wide shuffle to save per-row work)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda x: x != F.lit(""))
+    n_lines = F.size(lines)
+    words = F.filter(F.split(t, " "), lambda x: x != F.lit(""))
+    n_words = F.size(words)
+    grams = wordgram_col(text_col, ngram_n)
+    n_grams = F.size(grams)
+
+    def dup_frac(arr, n):
+        return F.when(
+            n > 0, F.round((n - F.size(F.array_distinct(arr))) / n, 6)
+        ).otherwise(F.lit(0.0))
+
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    top_word_frac = F.when(n_words > 0, F.round(top_count / n_words, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        dup_frac(lines, n_lines).alias("dup_line_frac"),
+        n_grams.alias("n_ngrams"),
+        dup_frac(grams, n_grams).alias("dup_ngram_frac"),
+        n_words.alias("n_words"),
+        top_word_frac.alias("top_word_frac"),
+    )
+
+
 # --- document fingerprinting (rolling-hash winnowing) ----------------------
 
 

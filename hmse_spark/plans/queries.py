@@ -955,6 +955,59 @@ def q_charlm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "repetition_filter_report",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lines, words,
+             CASE WHEN len(words) >= 3
+                  THEN list_transform(range(1, len(words) - 1),
+                       i -> array_to_string(list_slice(words, CAST(i AS INT),
+                                                       CAST(i + 2 AS INT)), ' '))
+                  ELSE [] END AS grams
+      FROM base
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(CASE WHEN len(lines) > 0
+                THEN ROUND((len(lines) - len(list_distinct(lines))) * 1.0
+                           / len(lines), 6) ELSE 0.0 END AS DOUBLE)
+             AS dup_line_frac,
+           CAST(len(grams) AS INT) AS n_ngrams,
+           CAST(CASE WHEN len(grams) > 0
+                THEN ROUND((len(grams) - len(list_distinct(grams))) * 1.0
+                           / len(grams), 6) ELSE 0.0 END AS DOUBLE)
+             AS dup_ngram_frac,
+           CAST(len(words) AS INT) AS n_words,
+           CAST(CASE WHEN len(words) > 0
+                THEN ROUND(list_max(list_transform(list_distinct(words),
+                           w -> len(list_filter(words, x -> x = w)))) * 1.0
+                           / len(words), 6) ELSE 0.0 END AS DOUBLE)
+             AS top_word_frac
+    FROM g
+    """,
+)
+def q_repetition_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText within-doc repetition filters
+    (functions/text.py::repetition_metrics): duplicate-line fraction,
+    duplicate word-3-gram fraction, most-frequent-word fraction — the
+    published quality thresholds a pre-training pipeline filters on. Pure
+    per-doc array math, no exchange; the oracle recomputes all three
+    ratios with DuckDB list functions, certifying the split/distinct/mode
+    arithmetic cross-engine."""
+    from hmse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_metrics(docs).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+
+
 @register("multimodal_features", None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-surface form: the raw `feature array<float>` stays an internal
@@ -1929,10 +1982,11 @@ _ROWS_ONLY_PRIORITY = [
     "near_dup_metrics",
     "chunk_store_metrics",
     "roundtrip_fidelity",
-    "lsh_bucket_histogram",
     "training_data_curation",
-    # signature projection: sig correctness is already hard-certified by
-    # murmur3 published-vector parity pytest + the oracled near-dup chain
+    # banding surface: band correctness is already hard-certified by the
+    # oracled near-dup chain + the three recall-certificate queries, and
+    # sig correctness by murmur3 published-vector parity pytest
+    "lsh_bucket_histogram",
     "minhash_signatures",
     # no-silent-caps accounting reports for the capped bucketed joins
     "embedding_bucket_report",

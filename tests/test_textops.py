@@ -613,3 +613,23 @@ def test_charlm_scores_semantics(spark):
     # docs shorter than 3 bytes have no trigram positions and drop out
     tiny = spark.createDataFrame([(1, "ab"), (2, "abcd")], "doc_id long, text string")
     assert {r["doc_id"] for r in charlm_scores(tiny).collect()} == {2}
+
+
+def test_repetition_metrics_semantics(spark):
+    """Gopher-style repetition ratios on hand-computable fixtures."""
+    rows = [
+        (1, "a\nb\nc"),                       # all lines distinct
+        (2, "x\nx\nx\ny"),                     # 2 of 4 lines are repeats
+        (3, "spam spam spam spam ham"),        # top word 4/5
+        (4, ""),
+        (5, "one two three one two three one two three"),  # repeated 3-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in T.repetition_metrics(df).collect()}
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[2]["dup_line_frac"] == 0.5
+    assert got[3]["top_word_frac"] == 0.8
+    assert got[4]["n_words"] == 0 and got[4]["dup_line_frac"] == 0.0
+    # 9 words -> 7 grams, distinct 3-grams = 3 cyclic patterns -> 4/7 dups
+    assert got[5]["n_ngrams"] == 7
+    assert abs(got[5]["dup_ngram_frac"] - round(4 / 7, 6)) < 1e-9
