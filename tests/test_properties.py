@@ -113,3 +113,57 @@ def test_containment_of_substring_is_one(a, prefix, suffix):
         # only matches byte-identical docs, never superstrings
         return
     assert containment_4gram(a, prefix + a + suffix) == 1.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_netpbm_roundtrip_any_shape(h, w, rgb, seed):
+    from hmse_spark.functions import media
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = media.decode_netpbm(media.encode_ppm(img))
+    assert np.array_equal(out, img)
+    assert media.sniff(media.encode_ppm(img)) == ("ppm" if rgb else "pgm")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=5000),
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=8000, max_value=48000),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_wav_roundtrip_any_shape(n, ch, rate, seed):
+    from hmse_spark.functions import media
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+    decoded, got_rate = media.decode_wav(media.encode_wav(x, rate))
+    assert got_rate == rate and np.array_equal(decoded, x)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_resize_nn_shape_and_value_domain(h, w, th, tw, seed):
+    from hmse_spark.functions import media
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = media.resize_nn(img, tw, th)
+    assert out.shape == (th, tw, 3)
+    # NN never invents values: every output pixel exists in the source
+    src = {tuple(p) for p in img.reshape(-1, 3)}
+    assert all(tuple(p) in src for p in out.reshape(-1, 3))
