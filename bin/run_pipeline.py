@@ -52,18 +52,21 @@ def main(argv: list[str] | None = None) -> None:
     # spark-submit provides the session config (master, executors, --conf);
     # only engine-required settings are layered on top here.
     builder = SparkSession.builder.appName("hmse_near_dup_pipeline")
-    from pyspark import SparkConf
-
-    if SparkConf().get("spark.master", None) is None:
-        # plain-python local run (no spark-submit conf): size the single
-        # local JVM explicitly — the bare builder otherwise inherits the 1g
-        # driver default, which flakily OOMs content-heavy stages at
-        # local[32] (r4 stress: 10-15 MB vector allocations failing)
+    # spark-submit launches this script with the gateway JVM already up and
+    # PYSPARK_GATEWAY_PORT exported — driver-memory/extraJavaOptions are
+    # inert then and --conf must win. (SparkConf().get("spark.master") is
+    # NOT a valid probe here: before getOrCreate the JVM gateway doesn't
+    # exist and SparkConf falls back to an empty local dict under
+    # spark-submit too — caught in the r4 review.)
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # plain-python local run: size the single local JVM explicitly —
+        # the bare builder otherwise inherits the 1g driver default, which
+        # flakily OOMs content-heavy stages at local[32] (r4 stress:
+        # 10-15 MB vector allocations failing)
         from hmse_spark.session import local_jvm_confs
 
         for k, v in local_jvm_confs().items():
             builder = builder.config(k, v)
-        builder = builder.config("spark.sql.parquet.columnarReaderBatchSize", "1024")
     builder = builder.config("spark.sql.adaptive.enabled", "true")
     builder = builder.config("spark.sql.adaptive.skewJoin.enabled", "true")
     # keep post-shuffle parallelism on small inputs (see session.py)

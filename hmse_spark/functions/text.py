@@ -225,11 +225,13 @@ def lang_id_oracle_sql(
 # --- repeated word-n-gram mining --------------------------------------------
 
 
-def wordgram_col(text_col: str, n: int):
+def wordgram_col(text_col, n: int):
     """array<string> of the text's word n-grams — ONE definition shared by
     the repeated-sequence miner and the decontaminator (split -> per-position
-    slice+join, pure column expressions, no Python)."""
-    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    slice+join, pure column expressions, no Python). Accepts a column name
+    or a Column expression (so callers can pass a NULL-coalesced text)."""
+    src = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(F.split(src, " "), lambda x: x != F.lit(""))
     n_words = F.size(words)
     return F.when(
         n_words >= n,
@@ -426,11 +428,16 @@ def charlm_scores(
     distribution noise scores high).
 
     Model: P(c | ab) = (C3(abc) + alpha) / (C2(ab) + alpha*256), add-alpha
-    smoothing over the 256-value next-byte alphabet, where C3 counts
-    trigram OCCURRENCES corpus-wide and C2(ab) = sum_c C3(abc) (bigram
-    counts over exactly the conditioning positions, derived from the
-    trigram table — self-consistent by construction). Per doc:
-    cross_entropy = -avg(log2 P) over its trigram positions.
+    smoothing with a FIXED +256 constant, where C3 counts CHARACTER-trigram
+    occurrences corpus-wide and C2(ab) = sum_c C3(abc) (bigram counts over
+    exactly the conditioning positions, derived from the trigram table —
+    self-consistent by construction). Both engines operate on characters
+    (substr/length are character-based), so on single-byte text 256 is the
+    exact next-symbol alphabet; on multi-byte corpora it is a pragmatic
+    smoothing floor rather than the true alphabet size — scores remain a
+    valid relative quality ranking (and cross-engine identical) but not a
+    calibrated probability. Per doc: cross_entropy = -avg(log2 P) over its
+    trigram positions.
 
     Scale shape: one trigram-occurrence count aggregate (map-side combined,
     zipfian keys), a tiny trigram->bigram rollup, one per-trigram logp
@@ -500,7 +507,9 @@ def repetition_metrics(
     n_lines = F.size(lines)
     words = F.filter(F.split(t, " "), lambda x: x != F.lit(""))
     n_words = F.size(words)
-    grams = wordgram_col(text_col, ngram_n)
+    # pass the COALESCED text: the raw column would make n_ngrams NULL (not
+    # 0) on NULL text, diverging from n_lines/n_words and from the oracle
+    grams = wordgram_col(t, ngram_n)
     n_grams = F.size(grams)
 
     def dup_frac(arr, n):

@@ -942,7 +942,8 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_charlm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained character-trigram LM cross-entropy per document — the
     CCNet-style perplexity quality filter (functions/text.py::charlm_scores,
-    add-1 smoothing over the 256-byte next-char alphabet). The oracle
+    add-1 smoothing with a fixed +256 constant — exact alphabet size for
+    single-byte text, a pragmatic floor beyond it). The oracle
     retrains the identical model in SQL (occurrence counts, the same
     smoothing constants, the same self-consistent bigram rollup), so a hash
     match certifies the count aggregates, the probability arithmetic, AND
@@ -959,9 +960,11 @@ def q_charlm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "repetition_filter_report",
     """
     WITH base AS (
+      -- COALESCE matches the Spark side's NULL->'' ingestion: without it a
+      -- NULL text yields NULL n_lines/n_words here vs 0 there
       SELECT doc_id,
-             list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
-             list_filter(string_split(text, ' '), x -> x <> '') AS words
+             list_filter(string_split(COALESCE(text, ''), chr(10)), x -> x <> '') AS lines,
+             list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS words
       FROM documents
     ), g AS (
       SELECT doc_id, lines, words,

@@ -19,12 +19,20 @@ from pyspark.sql import SparkSession
 
 
 def local_jvm_confs() -> dict[str, str]:
-    """Driver-JVM sizing for LOCAL (single-JVM) runs — shared by
-    build_session and the plain-python path of bin/run_pipeline.py (whose
-    bare builder otherwise inherits Spark's 1g default: at local[32] the
-    content-heavy stages then flakily die on 10-15 MB vector allocations).
-    Under spark-submit these come from --conf/--driver-memory instead."""
+    """Driver-JVM + content-scan sizing for LOCAL (single-JVM) runs — the
+    ONE source of truth shared by build_session and the plain-python path
+    of bin/run_pipeline.py (whose bare builder otherwise inherits Spark's
+    1g default: at local[32] the content-heavy stages then flakily die on
+    10-15 MB vector allocations). Under spark-submit these come from
+    --conf/--driver-memory instead."""
     return {
+        # content-heavy rows: the default 4096-row columnar batch grows a
+        # single string vector to ~18 MB on ~4.4 KB documents; 32
+        # concurrent readers' growth spikes flakily exhausted contiguous
+        # heap on the 40k stress (r4). 1024-row batches keep per-vector
+        # growth ~4.5 MB with no measurable scan-throughput cost at these
+        # row widths.
+        "spark.sql.parquet.columnarReaderBatchSize": "1024",
         # 16g: this one JVM carries all executor threads; content-heavy
         # stages (vectorized parquet string vectors, deflate payloads)
         # allocate 10-30 MB buffers from 32 threads at once. Still modest
@@ -74,12 +82,6 @@ def build_session(
         # one scan task's content + its Arrow batch transfer inside executor
         # memory even for content-heavy rows
         .config("spark.sql.files.maxPartitionBytes", str(128 << 20))
-        # content-heavy rows: the default 4096-row columnar batch grows a
-        # single string vector to ~18 MB on ~4.4 KB documents; 32 concurrent
-        # readers' growth spikes flakily exhausted contiguous heap on the
-        # 40k stress (r4). 1024-row batches keep per-vector growth ~4.5 MB
-        # with no measurable scan-throughput cost at these row widths.
-        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -623,6 +623,7 @@ def test_repetition_metrics_semantics(spark):
         (3, "spam spam spam spam ham"),        # top word 4/5
         (4, ""),
         (5, "one two three one two three one two three"),  # repeated 3-grams
+        (6, None),                             # NULL text == empty doc
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r.asDict() for r in T.repetition_metrics(df).collect()}
@@ -630,6 +631,9 @@ def test_repetition_metrics_semantics(spark):
     assert got[2]["dup_line_frac"] == 0.5
     assert got[3]["top_word_frac"] == 0.8
     assert got[4]["n_words"] == 0 and got[4]["dup_line_frac"] == 0.0
+    # NULL text behaves exactly like the empty doc (zeros, never NULLs —
+    # the oracle COALESCEs to match)
+    assert got[6] == {**got[4], "doc_id": 6}
     # 9 words -> 7 grams, distinct 3-grams = 3 cyclic patterns -> 4/7 dups
     assert got[5]["n_ngrams"] == 7
     assert abs(got[5]["dup_ngram_frac"] - round(4 / 7, 6)) < 1e-9
