@@ -106,7 +106,13 @@ def _real_features(payload: bytes, dim: int, strict: bool) -> np.ndarray | None:
     """Real decode + features when the payload sniffs as a supported format
     AND decodes cleanly; None otherwise. In ``auto`` a payload that sniffs
     right but fails to decode (odd bit depth, truncated raster, text that
-    happens to start with 'P5') falls back — only ``strict`` propagates."""
+    happens to start with 'P5', a RIFF/WAVE header over junk) falls back —
+    only ``strict`` propagates. The stdlib ``wave`` module raises its own
+    ``wave.Error`` plus EOFError/RuntimeError on corrupt containers, so the
+    fallback must catch beyond ValueError or a single bad row would kill the
+    whole mapInPandas task in the default auto mode."""
+    import wave
+
     fmt = media.sniff(payload)
     try:
         if fmt in ("ppm", "pgm"):
@@ -114,7 +120,7 @@ def _real_features(payload: bytes, dim: int, strict: bool) -> np.ndarray | None:
         if fmt == "wav":
             samples, rate = media.decode_wav(payload)
             return media.audio_features(samples, rate, dim)
-    except ValueError:
+    except (ValueError, EOFError, wave.Error, RuntimeError):
         if strict:
             raise
     return None

@@ -365,14 +365,26 @@ def test_multimodal_auto_falls_back_on_corrupt_sniff(spark):
         (1, "image", b"P6\n10 10\n255\nshort", None),        # truncated raster
         (2, "image", b"P5 is a nice format actually", None),  # text, sniffs P5
         (3, "image", b"P6\n0 0\n255\n", None),                # degenerate dims
+        # RIFF/WAVE magic over junk: stdlib wave raises wave.Error (bad fmt
+        # chunk) / EOFError / RuntimeError here, NOT ValueError — auto must
+        # still fall back instead of killing the task (ADVICE r4)
+        (4, "audio", b"RIFF\x24\x00\x00\x00WAVEjunkjunkjunk", None),
+        (5, "audio", b"RIFF\xff\xff\xff\xffWAVE", None),      # truncated container
     ]
     assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
     feats = multimodal.extract_features(assets).collect()
-    assert len(feats) == 3 and all(not r["decode_ok"] for r in feats)
+    assert len(feats) == 5 and all(not r["decode_ok"] for r in feats)
     out = multimodal.resize_images(assets, 8, 8).collect()
-    assert len(out) == 3
+    assert len(out) == 5
     with pytest.raises(Exception, match="netpbm|truncated|degenerate"):
-        multimodal.extract_features(assets, decode="strict").collect()
+        multimodal.extract_features(
+            assets.filter("kind = 'image'"), decode="strict"
+        ).collect()
+    # strict still propagates the wave-module error (whatever its type)
+    with pytest.raises(Exception):
+        multimodal.extract_features(
+            assets.filter("kind = 'audio'"), decode="strict"
+        ).collect()
 
 
 def test_multimodal_real_resize_roundtrip(spark):
