@@ -1,0 +1,212 @@
+"""Source-level curation operators: PII scrubbing and URL/domain dedup.
+
+Standard pre-training curation passes every LLM-data pipeline needs
+(public knowledge: C4/RefinedWeb-style per-domain caps + blocklists,
+redaction of emails/phones/IPs/keys before training). The reference
+(/root/reference/README.md) stops at content-level dedup; these operators
+extend the engine to the source-level axis the same corpora require.
+
+Design rules shared with the rest of the engine:
+
+- pure JVM column expressions (`regexp_replace` / `regexp_count` /
+  `regexp_extract`) — zero Python in the hot path, whole-stage codegen,
+  embarrassingly parallel scrub with NO exchange;
+- every regex restricted to the syntax subset where Java regex (Spark) and
+  RE2 (DuckDB) agree — ASCII classes, non-capturing groups, bounded
+  repetition, `\\b` word boundaries — so each operator is DuckDB-oracle-able
+  cross-engine (the `_BPE_ISH` convention, functions/text.py);
+- per-domain caps computed as a salted two-phase bottom-N (the
+  prefix-filter posting-cap pattern, operators/verify.py): a hot domain
+  (half the corpus on one host is REALITY for web crawls) must never
+  serialize its rank computation into a single task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+# (name, pattern, replacement) — applied IN ORDER; order is part of the
+# semantics (an email is redacted before the phone pass sees its digits) and
+# is identical in the Spark columns and the generated oracle SQL because
+# both are built from this one table.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    # separator-required NANP shape: plain 10-digit runs stay untouched
+    # (issue ids, timestamps); international prefixes are out of scope for
+    # the portable subset (\b before '+' is not a word boundary)
+    ("phone", r"\b\d{3}[ .-]\d{3}[ .-]\d{4}\b", "[PHONE]"),
+    # AWS-style access key ids + bare 32-64 char lowercase hex secrets
+    ("key", r"\b(?:AKIA[0-9A-Z]{16}|[0-9a-f]{32,64})\b", "[KEY]"),
+]
+
+
+def pii_counts(text_col) -> list[Column]:
+    """One `regexp_count` column per PII class, evaluated on the ORIGINAL
+    text (counts are independent diagnostics; the scrub itself is
+    sequential)."""
+    t = F.coalesce(
+        text_col if isinstance(text_col, Column) else F.col(text_col), F.lit("")
+    )
+    return [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def scrubbed_col(text_col) -> Column:
+    """The text with every PII class redacted, classes applied in
+    PII_PATTERNS order — a fold of regexp_replace, entirely in codegen."""
+    t = F.coalesce(
+        text_col if isinstance(text_col, Column) else F.col(text_col), F.lit("")
+    )
+    for _, pat, repl in PII_PATTERNS:
+        t = F.regexp_replace(t, pat, repl)
+    return t
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII report + redacted text. Pure map-side column math: the
+    plan is scan -> project, no exchange at any scale; a downstream
+    `n_pii > 0` filter pushes to the scan."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    raw = [F.regexp_count(t, F.lit(pat)) for _, pat, _ in PII_PATTERNS]
+    total = raw[0]
+    for c in raw[1:]:
+        total = total + c
+    return df.select(
+        F.col(id_col),
+        *[
+            c.cast("long").alias(f"n_{name}")
+            for c, (name, _, _) in zip(raw, PII_PATTERNS)
+        ],
+        total.cast("long").alias("n_pii"),
+        scrubbed_col(text_col).alias("scrubbed"),
+    )
+
+
+def pii_oracle_exprs(text_sql: str) -> tuple[list[str], str, str]:
+    """DuckDB SQL fragments mirroring pii_counts/scrubbed_col, generated
+    from the SAME pattern table so the two engines cannot drift: (count
+    select-list items, total-count expr, scrubbed expr)."""
+    t = f"COALESCE({text_sql}, '')"
+    counts = [
+        f"CAST(len(regexp_extract_all({t}, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    ]
+    total = " + ".join(
+        f"len(regexp_extract_all({t}, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    scrub = t
+    for _, pat, repl in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return counts, f"CAST({total} AS BIGINT)", scrub
+
+
+# --------------------------------------------------------------------------
+# URL / domain-level curation
+# --------------------------------------------------------------------------
+
+# scheme://[userinfo@]HOST[:port]/... — capture the host; lowercased for
+# canonical grouping. RE2- and Java-portable.
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+# last two dot-labels of the host ≈ registered domain (public-suffix lists
+# are out of scope; two labels is the standard cheap approximation)
+_REG_DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+
+def host_col(url_col) -> Column:
+    u = url_col if isinstance(url_col, Column) else F.col(url_col)
+    return F.lower(F.regexp_extract(u, _HOST_RE, 1))
+
+
+def registered_domain_col(url_col) -> Column:
+    return F.regexp_extract(host_col(url_col), _REG_DOMAIN_RE, 1)
+
+
+def host_oracle_sql(url_sql: str) -> str:
+    return f"lower(regexp_extract({url_sql}, '{_HOST_RE}', 1))"
+
+
+def registered_domain_oracle_sql(url_sql: str) -> str:
+    return f"regexp_extract({host_oracle_sql(url_sql)}, '{_REG_DOMAIN_RE}', 1)"
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    cap: int = 0,
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """Per registered domain: doc count, docs kept under the per-domain cap
+    (0 = uncapped), elided count, blocked flag — the no-silent-caps
+    accounting row for source-level curation (the posting-report
+    convention). One partial-aggregated groupBy; the blocklist is a tiny
+    literal isin (broadcast by construction)."""
+    dom = registered_domain_col(url_col).alias("domain")
+    out = (
+        df.select(dom)
+        .groupBy("domain")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    blocked = (
+        F.col("domain").isin(list(blocklist)) if blocklist else F.lit(False)
+    )
+    kept = F.when(blocked, F.lit(0)).otherwise(
+        F.least(F.col("n_docs"), F.lit(cap)) if cap else F.col("n_docs")
+    )
+    return out.select(
+        "domain",
+        "n_docs",
+        kept.cast("long").alias("n_kept"),
+        (F.col("n_docs") - kept).cast("long").alias("n_elided"),
+        blocked.alias("blocked"),
+    )
+
+
+def domain_capped_docs(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    cap: int = 100,
+    blocklist: list[str] | None = None,
+    n_salt: int = 32,
+) -> DataFrame:
+    """C4/RefinedWeb-style per-domain cap: keep the ``cap`` LOWEST ids per
+    registered domain (deterministic, order-insensitive), drop blocklisted
+    domains entirely. The bottom-N is a salted two-phase rank (the
+    prefix-filter max_posting pattern): phase 1 ranks within (domain, salt)
+    so a hot domain — half the crawl on one host — spreads over ``n_salt``
+    tasks; phase 2 re-ranks survivors, per-domain input bounded at
+    n_salt * cap rows. Output: (id, domain, domain_rank) for kept docs —
+    identical to a plain per-domain row_number, which is what the DuckDB
+    oracle uses."""
+    from pyspark.sql import Window
+
+    dom = registered_domain_col(url_col).alias("domain")
+    base = df.select(F.col(id_col).alias("id"), dom)
+    if blocklist:
+        base = base.filter(~F.col("domain").isin(list(blocklist)))
+    ph1 = (
+        base.withColumn("_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)))
+        .withColumn(
+            "_r1",
+            F.row_number().over(Window.partitionBy("domain", "_salt").orderBy("id")),
+        )
+        .filter(F.col("_r1") <= cap)
+        .drop("_salt", "_r1")
+    )
+    return (
+        ph1.withColumn(
+            "domain_rank",
+            F.row_number().over(Window.partitionBy("domain").orderBy("id")),
+        )
+        .filter(F.col("domain_rank") <= cap)
+        .select("id", "domain", F.col("domain_rank").cast("int").alias("domain_rank"))
+    )
