@@ -262,7 +262,8 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
            CAST(0 AS INT) AS hamming
     FROM u a JOIN u b
-      ON b.id = a.id + 100000 AND a.text = b.text
+      ON b.id = a.id + 100000
+     AND COALESCE(a.text, '') = COALESCE(b.text, '')
     """,
 )
 def q_simhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,9 +274,12 @@ def q_simhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming verify — restricted to the planted (base, base+100000) pair
     slots. Identical text gives identical fingerprints, hence identical
     bands in EVERY band and Hamming 0, so each planted pair must surface
-    deterministically; the oracle computes the ground-truth pair set by
-    text equality (testdata has 500 distinct shas — no natural exact dups,
-    so text equality is exactly the planted set). A miss anywhere in the
+    deterministically. The oracle's ``b.id = a.id + 100000`` join condition
+    is what pins the pair set to exactly the planted slots — natural dups
+    CAN exist in testdata (sf0.1 has 5000 docs / 4992 distinct texts) but
+    cannot satisfy the id offset; text equality in the oracle (COALESCEd,
+    matching the Spark side's coalesced ingestion of NULL text) then holds
+    by construction for every planted slot. A miss anywhere in the
     banding/join/verify chain loses a row and fails the hash."""
     import dataclasses
 
@@ -601,13 +605,14 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared oracle for the two ANN recall reports: ground-truth hit@3 for every
-# planted query, by BRUTE FORCE in DuckDB. The planted copy has rounded
-# cos_sim 1.0 — the maximum — so it is always the true rank-1 neighbor
-# (testdata has no natural near-dups; the 0.9999-threshold driver run showed
-# 0 rows), and the oracle's hit column is 1 for every query BY COMPUTATION,
-# not by assumption. A Spark-side hash match therefore certifies the
-# approximate path recovered the true nearest neighbor for every planted
-# query — recall on the driver surface, not just in pytest.
+# planted query, by BRUTE FORCE in DuckDB — the hit column is COMPUTED, not
+# assumed, so the certificate does not rest on any premise about natural
+# dups in testdata (a natural cos-1.0 twin would merely tie the planted copy
+# at the top; it takes >= 3 such twins of one base to push the copy out of
+# the true top-3, and the brute-force oracle would then expect hit=0 too).
+# A Spark-side hash match certifies the approximate path recovered the true
+# top-3 membership for every planted query — recall on the driver surface,
+# not just in pytest.
 _ANN_RECALL_ORACLE = """
     WITH u AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -859,7 +864,8 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpeish_token_counts",
     r"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]'))
+           CAST(len(regexp_extract_all(COALESCE(text, ''),
+                                       '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]'))
                 AS BIGINT) AS n_bpeish_tokens
     FROM documents
     """,
@@ -867,9 +873,14 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpeish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer token cost per doc. The oracle drops the
     UDF's ``\\s+`` alternative instead of filtering whitespace matches —
-    equivalent, because no other alternative can match a whitespace char, so
-    the scanner skips the same spans either way; the remaining ASCII classes
-    mean Python re and DuckDB RE2 agree (verified over the full corpus)."""
+    equivalent for ASCII whitespace, because no other alternative can match
+    it, so the scanner skips the same spans either way. NULL text counts 0
+    (COALESCE, the repetition_metrics convention — pinned by
+    test_multibyte after the raw column was caught diverging 0 vs NULL).
+    Known divergence outside ASCII: Python's ``\\s`` is Unicode while RE2's
+    is ASCII-only, so exotic whitespace (NBSP, ideographic space) counts as
+    a token in the oracle but not in the UDF — pinned as a behavior-table
+    row in test_multibyte / docs/MULTIBYTE.md; testdata contains none."""
     from hmse_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents")
