@@ -1,7 +1,8 @@
-"""Leaf codec module: L1 DEFLATE + the delta-codec seam (no intra-package
-imports, so :mod:`hmse_spark.config` can validate ``delta_codec`` against
-``CODECS`` unconditionally — the previous config<->delta import cycle made
-that validation silently skip during the module-init window).
+"""Leaf codec module: L1 DEFLATE + the delta-codec seam (imports nothing
+above the leaf layer — only :mod:`hmse_spark.operators.vcdiff`, itself
+stdlib-only — so :mod:`hmse_spark.config` can validate ``delta_codec``
+against ``CODECS`` unconditionally; the previous config<->delta import
+cycle made that validation silently skip during the module-init window).
 
 Codecs (reference README.md:288, 2160-2198 — xdelta3 named there; the
 container has no binding, so two pure-Python codecs sit behind the seam):
@@ -98,11 +99,17 @@ def _blockcopy_decode(base: bytes, delta: bytes) -> bytes:
     return bytes(out)
 
 
+from hmse_spark.operators import vcdiff as _vcdiff  # noqa: E402  (leaf, stdlib-only)
+
 # codec seam: name -> (encode, decode); both sides of the store dispatch on
-# cfg.delta_codec, so an xdelta3 binding can drop in by registering here
+# cfg.delta_codec, so an xdelta3 binding can drop in by registering here.
+# "vcdiff" IS the xdelta-family wire format (RFC 3284), implemented from
+# the public spec in operators/vcdiff.py — the format xdelta3 emits, minus
+# bindings this container cannot install.
 CODECS: dict[str, tuple] = {
     "zdict": (_zdict_encode, _zdict_decode),
     "blockcopy": (_blockcopy_encode, _blockcopy_decode),
+    "vcdiff": (_vcdiff.encode, _vcdiff.decode),
 }
 
 

@@ -1,0 +1,352 @@
+"""RFC 3284 VCDIFF delta codec — the xdelta-family wire format, from the
+public spec (https://www.rfc-editor.org/rfc/rfc3284).
+
+The reference names xdelta3 as its binary-diff codec (README.md:2160-2198);
+no binding exists in this container (dated note in docs/CODECS.md), so this
+module implements the FORMAT xdelta3 emits, from scratch, stdlib-only:
+
+- encoder: greedy block-hash matching against the source (the blockcopy
+  strategy, operators/delta_codecs.py) plus RUN detection, emitted as a
+  conformant single-window VCDIFF delta — standard code table, full
+  near/same address cache, no secondary compression (xdelta3's default is
+  also none, so ratio comparisons are apples-to-apples with the named
+  tool);
+- decoder: the COMPLETE standard — all 256 code-table entries including
+  the combined ADD+COPY / COPY+ADD opcodes the encoder never emits, all
+  nine address modes, VCD_SOURCE and VCD_TARGET windows, overlap-safe
+  COPY into the growing target — so deltas produced by a real xdelta3
+  (without secondary compression / checksum extensions) decode here too.
+
+Leaf module (stdlib only, no hmse_spark imports): registered in
+``delta_codecs.CODECS`` so :mod:`hmse_spark.config` validates
+``delta_codec="vcdiff"`` unconditionally and both store paths dispatch on
+it like any other codec.
+"""
+
+from __future__ import annotations
+
+# --- instruction types -----------------------------------------------------
+_NOOP, _ADD, _RUN, _COPY = 0, 1, 2, 3
+
+_MAGIC = b"\xd6\xc3\xc4\x00"  # 'VCD' with high bits set + version 0
+
+_S_NEAR = 4
+_S_SAME = 3
+
+_VCD_SOURCE = 0x01
+_VCD_TARGET = 0x02
+
+_BLOCK = 16  # encoder block-hash granularity (matches the blockcopy codec)
+_MIN_RUN = 8  # encoder: shortest byte run worth a RUN instruction
+
+
+# --- base-128 varints (RFC 3284 §2: MSB-first, high bit = continuation) ----
+
+
+def _varint(n: int) -> bytes:
+    if n < 0:
+        raise ValueError("VCDIFF integers are unsigned")
+    out = bytearray([n & 0x7F])
+    n >>= 7
+    while n:
+        out.append(0x80 | (n & 0x7F))
+        n >>= 7
+    out.reverse()
+    return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    n = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated VCDIFF varint")
+        b = buf[pos]
+        pos += 1
+        n = (n << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return n, pos
+
+
+# --- the standard code table (RFC 3284 §5.6) -------------------------------
+
+
+def _build_code_table() -> list[tuple[int, int, int, int, int, int]]:
+    """256 entries of (inst1, size1, mode1, inst2, size2, mode2), generated
+    exactly per the RFC's construction: RUN; ADD 0,[1,17]; COPY 0,[4,18]
+    x mode [0,8]; ADD [1,4] + COPY [4,6] x mode [0,5]; ADD [1,4] + COPY 4
+    x mode [6,8]; COPY 4 x mode [0,8] + ADD 1."""
+    t: list[tuple[int, int, int, int, int, int]] = []
+    t.append((_RUN, 0, 0, _NOOP, 0, 0))
+    for size in [0, *range(1, 18)]:
+        t.append((_ADD, size, 0, _NOOP, 0, 0))
+    for mode in range(9):
+        for size in [0, *range(4, 19)]:
+            t.append((_COPY, size, mode, _NOOP, 0, 0))
+    for mode in range(6):
+        for add_size in range(1, 5):
+            for copy_size in range(4, 7):
+                t.append((_ADD, add_size, 0, _COPY, copy_size, mode))
+    for mode in range(6, 9):
+        for add_size in range(1, 5):
+            t.append((_ADD, add_size, 0, _COPY, 4, mode))
+    for mode in range(9):
+        t.append((_COPY, 4, mode, _ADD, 1, 0))
+    assert len(t) == 256
+    return t
+
+
+_CODE_TABLE = _build_code_table()
+
+# encoder lookups into the standard table (single-instruction opcodes only;
+# pairing is an encoder optimization the format does not require)
+_OP_RUN = 0
+_OP_ADD0 = 1  # ADD, size follows as varint
+
+
+def _op_add(size: int) -> int | None:
+    return _OP_ADD0 + size if 1 <= size <= 17 else None
+
+
+def _op_copy(mode: int, size: int) -> tuple[int, bool]:
+    """(opcode, size_is_immediate) for a COPY of this mode/size."""
+    base = 19 + 16 * mode
+    if 4 <= size <= 18:
+        return base + (size - 3), True
+    return base, False
+
+
+# --- address cache (RFC 3284 §5.1-5.3) -------------------------------------
+
+
+class _AddrCache:
+    __slots__ = ("near", "next_slot", "same")
+
+    def __init__(self) -> None:
+        self.near = [0] * _S_NEAR
+        self.next_slot = 0
+        self.same = [0] * (_S_SAME * 256)
+
+    def update(self, addr: int) -> None:
+        self.near[self.next_slot] = addr
+        self.next_slot = (self.next_slot + 1) % _S_NEAR
+        self.same[addr % (_S_SAME * 256)] = addr
+
+    def encode(self, addr: int, here: int) -> tuple[int, bytes]:
+        """(mode, encoded address bytes) — cheapest of SAME (1 byte), then
+        the shortest varint among SELF / HERE / NEAR (lowest mode wins
+        ties, so encoder output is deterministic)."""
+        if self.same[addr % (_S_SAME * 256)] == addr:
+            mode = 2 + _S_NEAR + (addr % (_S_SAME * 256)) // 256
+            out = (mode, bytes([addr % 256]))
+        else:
+            best = (len(_varint(addr)), 0, _varint(addr))  # VCD_SELF
+            cand = here - addr  # VCD_HERE
+            if 0 <= cand:
+                v = _varint(cand)
+                if len(v) < best[0]:
+                    best = (len(v), 1, v)
+            for i in range(_S_NEAR):
+                d = addr - self.near[i]
+                if d >= 0:
+                    v = _varint(d)
+                    if len(v) < best[0]:
+                        best = (len(v), 2 + i, v)
+            out = (best[1], best[2])
+        self.update(addr)
+        return out
+
+    def decode(self, mode: int, here: int, addr_buf: bytes, pos: int) -> tuple[int, int]:
+        if mode == 0:  # VCD_SELF
+            addr, pos = _read_varint(addr_buf, pos)
+        elif mode == 1:  # VCD_HERE
+            d, pos = _read_varint(addr_buf, pos)
+            addr = here - d
+        elif mode < 2 + _S_NEAR:  # near
+            d, pos = _read_varint(addr_buf, pos)
+            addr = self.near[mode - 2] + d
+        else:  # same: one byte index into a 256-slot page
+            if pos >= len(addr_buf):
+                raise ValueError("truncated VCDIFF address section")
+            d = addr_buf[pos]
+            pos += 1
+            addr = self.same[(mode - 2 - _S_NEAR) * 256 + d]
+        if addr < 0 or addr > here:
+            raise ValueError(f"corrupt VCDIFF address {addr} (here={here})")
+        self.update(addr)
+        return addr, pos
+
+
+# --- encoder ---------------------------------------------------------------
+
+
+def encode(base: bytes, target: bytes, level: int = 9) -> bytes:
+    """One-window VCDIFF delta of ``target`` against ``base``. ``level`` is
+    accepted for codec-seam signature parity and ignored: the format has no
+    secondary compression here (neither does xdelta3 by default)."""
+    src_len = len(base)
+    data = bytearray()
+    inst = bytearray()
+    addr = bytearray()
+    cache = _AddrCache()
+    lit = bytearray()
+
+    def flush_lit() -> None:
+        if not lit:
+            return
+        op = _op_add(len(lit))
+        if op is None:
+            inst.append(_OP_ADD0)
+            inst.extend(_varint(len(lit)))
+        else:
+            inst.append(op)
+        data.extend(lit)
+        lit.clear()
+
+    idx: dict[bytes, int] = {}
+    for j in range(0, src_len - _BLOCK + 1, _BLOCK):
+        idx.setdefault(base[j : j + _BLOCK], j)
+
+    i, n = 0, len(target)
+    while i < n:
+        j = idx.get(target[i : i + _BLOCK]) if i + _BLOCK <= n else None
+        if j is not None:
+            li, lj = i + _BLOCK, j + _BLOCK
+            while li < n and lj < src_len and target[li] == base[lj]:
+                li += 1
+                lj += 1
+            flush_lit()
+            size = li - i
+            here = src_len + i
+            mode, abytes = cache.encode(j, here)
+            op, immediate = _op_copy(mode, size)
+            inst.append(op)
+            if not immediate:
+                inst.extend(_varint(size))
+            addr.extend(abytes)
+            i = li
+            continue
+        b = target[i]
+        r = i + 1
+        while r < n and target[r] == b:
+            r += 1
+        if r - i >= _MIN_RUN:
+            flush_lit()
+            inst.append(_OP_RUN)
+            inst.extend(_varint(r - i))
+            data.append(b)
+            i = r
+            continue
+        lit.append(b)
+        i += 1
+    flush_lit()
+
+    body = bytearray()
+    body.extend(_varint(n))  # target window size
+    body.append(0)  # Delta_Indicator: no per-section compression
+    body.extend(_varint(len(data)))
+    body.extend(_varint(len(inst)))
+    body.extend(_varint(len(addr)))
+    body.extend(data)
+    body.extend(inst)
+    body.extend(addr)
+
+    out = bytearray(_MAGIC)
+    out.append(0)  # Hdr_Indicator: no secondary compressor, no app data
+    if src_len:
+        out.append(_VCD_SOURCE)
+        out.extend(_varint(src_len))
+        out.extend(_varint(0))
+    else:
+        out.append(0)
+    out.extend(_varint(len(body)))
+    out.extend(body)
+    return bytes(out)
+
+
+# --- decoder ---------------------------------------------------------------
+
+
+def decode(base: bytes, delta: bytes) -> bytes:
+    """Full-standard VCDIFF decode of ``delta`` against ``base`` — all code
+    table entries, all address modes, VCD_SOURCE/VCD_TARGET windows,
+    overlap-safe COPY. Rejects the optional features this engine never
+    produces (secondary compression, application data) loudly."""
+    if delta[:4] != _MAGIC:
+        raise ValueError("not a VCDIFF (RFC 3284) delta")
+    hdr, pos = delta[4], 5
+    if hdr & 0x01:
+        raise ValueError("VCD_DECOMPRESS (secondary compressor) unsupported")
+    if hdr & 0x02:
+        raise ValueError("application-defined code tables unsupported")
+    if hdr & 0x04:  # VCD_APPHEADER (RFC errata / xdelta3 extension)
+        app_len, pos = _read_varint(delta, pos)
+        pos += app_len
+
+    out_all = bytearray()
+    while pos < len(delta):
+        win_ind = delta[pos]
+        pos += 1
+        if win_ind & _VCD_SOURCE and win_ind & _VCD_TARGET:
+            raise ValueError("window names both VCD_SOURCE and VCD_TARGET")
+        src: bytes = b""
+        if win_ind & _VCD_SOURCE:
+            seg_len, pos = _read_varint(delta, pos)
+            seg_pos, pos = _read_varint(delta, pos)
+            if seg_pos + seg_len > len(base):
+                raise ValueError("source segment outside base")
+            src = base[seg_pos : seg_pos + seg_len]
+        elif win_ind & _VCD_TARGET:
+            seg_len, pos = _read_varint(delta, pos)
+            seg_pos, pos = _read_varint(delta, pos)
+            if seg_pos + seg_len > len(out_all):
+                raise ValueError("target segment outside decoded prefix")
+            src = bytes(out_all[seg_pos : seg_pos + seg_len])
+
+        body_len, pos = _read_varint(delta, pos)
+        body_end = pos + body_len
+        tgt_len, pos = _read_varint(delta, pos)
+        delta_ind = delta[pos]
+        pos += 1
+        if delta_ind:
+            raise ValueError("per-section compression unsupported")
+        data_len, pos = _read_varint(delta, pos)
+        inst_len, pos = _read_varint(delta, pos)
+        addr_len, pos = _read_varint(delta, pos)
+        data = delta[pos : pos + data_len]
+        inst = delta[pos + data_len : pos + data_len + inst_len]
+        addr = delta[pos + data_len + inst_len : pos + data_len + inst_len + addr_len]
+        if pos + data_len + inst_len + addr_len != body_end:
+            raise ValueError("VCDIFF window length mismatch")
+        pos = body_end
+
+        src_len = len(src)
+        tgt = bytearray()
+        cache = _AddrCache()
+        dp = ap = ip = 0
+        while ip < len(inst):
+            entry = _CODE_TABLE[inst[ip]]
+            ip += 1
+            for which in (0, 3):
+                kind, size, mode = entry[which : which + 3]
+                if kind == _NOOP:
+                    continue
+                if size == 0:
+                    size, ip = _read_varint(inst, ip)
+                if kind == _ADD:
+                    tgt.extend(data[dp : dp + size])
+                    dp += size
+                elif kind == _RUN:
+                    tgt.extend(data[dp : dp + 1] * size)
+                    dp += 1
+                else:  # COPY from U = src ++ tgt, may overlap the cursor
+                    here = src_len + len(tgt)
+                    a, ap = cache.decode(mode, here, addr, ap)
+                    if a + size <= src_len:
+                        tgt.extend(src[a : a + size])
+                    else:
+                        for k in range(a, a + size):
+                            tgt.append(src[k] if k < src_len else tgt[k - src_len])
+        if len(tgt) != tgt_len:
+            raise ValueError(f"decoded {len(tgt)} bytes, window declared {tgt_len}")
+        out_all.extend(tgt)
+    return bytes(out_all)

@@ -45,6 +45,26 @@ def test_dedup_ratio_fixture_blockcopy(spark):
     assert err <= 0.01, f"blockcopy ratio {m['dedup_ratio']:.4f} vs pinned {target}"
 
 
+def test_dedup_ratio_fixture_vcdiff(spark):
+    """The RFC 3284 codec's fixture ratio (the wire format xdelta3 emits,
+    operators/vcdiff.py) — within 0.05% of blockcopy DESPITE carrying no
+    secondary compression (near-dup deltas are almost all COPY ops, and
+    the near/same address cache keeps them 1-3 bytes each), and end-to-end
+    store fidelity 461/461 (tools/codec_compare.py --fixture --verify,
+    round 5)."""
+    import dataclasses
+
+    from hmse_spark.config import DEFAULT
+
+    c = generate_corpus(wikipedia_profile_spec())
+    df = corpus_to_spark(spark, c)
+    cfg = dataclasses.replace(DEFAULT, delta_codec="vcdiff")
+    m = build_chunk_store(spark, df, cfg).metrics.first()
+    target = 9.182  # measured round 5 (tools/codec_compare.py --fixture)
+    err = abs(m["dedup_ratio"] - target) / target
+    assert err <= 0.01, f"vcdiff ratio {m['dedup_ratio']:.4f} vs pinned {target}"
+
+
 def test_five_copies_chunk_level(spark):
     """README.md:1298-1315 at chunk granularity: 5x corpus -> unique chunks
     unchanged, stored bytes within 1.05x of single-copy store."""

@@ -1,0 +1,191 @@
+"""RFC 3284 VCDIFF codec (operators/vcdiff.py): wire-format conformance of
+the pieces the RFC fully specifies (varints, the 256-entry standard code
+table, address-cache semantics), encoder->decoder round-trips incl. a
+Hypothesis sweep, decoder breadth on hand-built streams exercising the
+combined opcodes and address modes the encoder never emits, and the codec
+seam registration (config validation + store dispatch)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from hmse_spark.operators import vcdiff as V
+from hmse_spark.operators import delta_codecs as DC
+
+
+# --- varints ----------------------------------------------------------------
+
+
+def test_varint_rfc_example_and_roundtrip():
+    # RFC 3284 §2: 123456789 encodes as the 4 bytes 111 0101 | 101 1011 |
+    # 110 1101 | 0 0010101 == 0xBA 0xEF 0x9A 0x15
+    assert V._varint(123456789) == bytes([0xBA, 0xEF, 0x9A, 0x15])
+    assert V._varint(0) == b"\x00"
+    assert V._varint(127) == b"\x7f"
+    assert V._varint(128) == bytes([0x81, 0x00])
+    for n in [0, 1, 127, 128, 16383, 16384, 2**31 - 1, 123456789]:
+        assert V._read_varint(V._varint(n), 0) == (n, len(V._varint(n)))
+
+
+# --- standard code table ----------------------------------------------------
+
+
+def test_code_table_matches_rfc_layout():
+    t = V._CODE_TABLE
+    assert len(t) == 256
+    assert t[0] == (V._RUN, 0, 0, V._NOOP, 0, 0)
+    assert t[1] == (V._ADD, 0, 0, V._NOOP, 0, 0)
+    assert t[18] == (V._ADD, 17, 0, V._NOOP, 0, 0)
+    # COPY blocks: mode m occupies 19+16m .. 34+16m with sizes 0,4..18
+    for m in range(9):
+        assert t[19 + 16 * m] == (V._COPY, 0, m, V._NOOP, 0, 0)
+        assert t[19 + 16 * m + 15] == (V._COPY, 18, m, V._NOOP, 0, 0)
+    # first combined entry: ADD 1 + COPY 4 mode 0; last: COPY 4 mode 8 + ADD 1
+    assert t[163] == (V._ADD, 1, 0, V._COPY, 4, 0)
+    assert t[255] == (V._COPY, 4, 8, V._ADD, 1, 0)
+    # the RFC's counts per family
+    kinds = [(e[0], e[3]) for e in t]
+    assert kinds.count((V._COPY, V._NOOP)) == 144
+    assert kinds.count((V._ADD, V._COPY)) == 84
+    assert kinds.count((V._COPY, V._ADD)) == 9
+
+
+# --- address cache ----------------------------------------------------------
+
+
+def test_addr_cache_encode_decode_agree_over_sequences():
+    enc, dec = V._AddrCache(), V._AddrCache()
+    addrs = [0, 5000, 5008, 5008, 12, 5009, 700000, 700000, 3, 5008]
+    here = 1_000_000
+    for a in addrs:
+        mode, abytes = enc.encode(a, here)
+        got, pos = dec.decode(mode, here, abytes, 0)
+        assert got == a and pos == len(abytes)
+        here += 7
+
+def test_addr_cache_same_mode_is_single_byte_on_repeat():
+    c = V._AddrCache()
+    c.encode(123456, 999999)
+    mode, abytes = c.encode(123456, 999999)
+    assert mode >= 2 + V._S_NEAR and len(abytes) == 1
+
+
+# --- round-trips ------------------------------------------------------------
+
+
+def test_roundtrip_near_dup_and_delta_is_small():
+    base = (b"def f(x):\n    return x * 2\n" * 400) + b"# trailer\n"
+    target = base.replace(b"x * 2", b"x * 3", 1) + b"new tail line\n"
+    d = V.encode(base, target)
+    assert d[:4] == b"\xd6\xc3\xc4\x00"
+    assert V.decode(base, d) == target
+    assert len(d) < 0.05 * len(target)
+
+
+def test_roundtrip_empty_and_degenerate():
+    assert V.decode(b"", V.encode(b"", b"")) == b""
+    assert V.decode(b"base", V.encode(b"base", b"")) == b""
+    assert V.decode(b"", V.encode(b"", b"hello world")) == b"hello world"
+    run = b"\x00" * 10_000
+    d = V.encode(b"", run)
+    assert V.decode(b"", d) == run and len(d) < 32  # RUN, not 10k literals
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    base=st.binary(max_size=400),
+    edits=st.lists(st.tuples(st.integers(0, 399), st.binary(max_size=20)), max_size=6),
+    tail=st.binary(max_size=50),
+)
+def test_roundtrip_property(base, edits, tail):
+    target = bytearray(base * 3)
+    for pos, ins in edits:
+        target[pos:pos] = ins
+    target.extend(tail)
+    target = bytes(target)
+    assert V.decode(base, V.encode(base, target)) == target
+
+
+# --- decoder breadth: streams the encoder never emits -----------------------
+
+
+def _window(src_len: int, data: bytes, inst: bytes, addr: bytes, tgt_len: int) -> bytes:
+    body = (
+        V._varint(tgt_len)
+        + b"\x00"
+        + V._varint(len(data))
+        + V._varint(len(inst))
+        + V._varint(len(addr))
+        + data
+        + inst
+        + addr
+    )
+    win = bytes([V._VCD_SOURCE]) + V._varint(src_len) + V._varint(0)
+    return V._MAGIC + b"\x00" + win + V._varint(len(body)) + body
+
+
+def test_decoder_combined_add_copy_opcode():
+    # opcode 163 = ADD 1 + COPY 4 mode 0 (VCD_SELF): add 'X', copy src[0:4]
+    src = b"ABCDEFGH"
+    delta = _window(len(src), b"X", bytes([163]), V._varint(0), 5)
+    assert V.decode(src, delta) == b"XABCD"
+
+
+def test_decoder_combined_copy_add_opcode():
+    # opcode 247 = COPY 4 mode 0 + ADD 1
+    src = b"ABCDEFGH"
+    delta = _window(len(src), b"Z", bytes([247]), V._varint(4), 5)
+    assert V.decode(src, delta) == b"EFGHZ"
+
+
+def test_decoder_overlapping_copy_into_growing_target():
+    # ADD 2 'ab', then COPY 8 mode 0 from here-2 (addr = src_len): the RFC's
+    # overlapping-copy semantics replicate 'ab' four times
+    src = b"ignored!"
+    inst = bytes([V._OP_ADD0 + 2, 19 + 5])  # ADD size 2; COPY size 8 mode 0
+    delta = _window(len(src), b"ab", inst, V._varint(len(src)), 10)
+    assert V.decode(src, delta) == b"ab" + b"abababab"
+
+
+def test_decoder_vcd_target_window():
+    # window 1 builds 'AAAABBBB' from source; window 2 is VCD_TARGET over it
+    src = b"AAAABBBB"
+    w1_body = (
+        V._varint(8) + b"\x00" + V._varint(0) + V._varint(1) + V._varint(1)
+        + b"" + bytes([19 + 5]) + V._varint(0)  # COPY size 8 mode 0 addr 0
+    )
+    w1 = bytes([V._VCD_SOURCE]) + V._varint(8) + V._varint(0) + V._varint(len(w1_body)) + w1_body
+    w2_body = (
+        V._varint(4) + b"\x00" + V._varint(0) + V._varint(1) + V._varint(1)
+        + b"" + bytes([19 + 1]) + V._varint(4)  # COPY size 4 mode 0 addr 4
+    )
+    w2 = bytes([V._VCD_TARGET]) + V._varint(8) + V._varint(0) + V._varint(len(w2_body)) + w2_body
+    assert V.decode(src, V._MAGIC + b"\x00" + w1 + w2) == b"AAAABBBB" + b"BBBB"
+
+
+def test_decoder_rejects_corruption_loudly():
+    src = b"ABCDEFGH"
+    good = V.encode(src, b"ABCDEFGHIJ")
+    with pytest.raises(ValueError, match="VCDIFF"):
+        V.decode(src, b"nope" + good[4:])
+    with pytest.raises(ValueError):
+        V.decode(src, good[:-1])  # truncated
+    with pytest.raises(ValueError, match="secondary"):
+        V.decode(src, good[:4] + b"\x01" + good[5:])
+
+
+# --- seam registration ------------------------------------------------------
+
+
+def test_vcdiff_registered_in_codec_seam_and_config_accepts():
+    import dataclasses
+
+    from hmse_spark.config import DEFAULT
+
+    assert "vcdiff" in DC.CODECS
+    cfg = dataclasses.replace(DEFAULT, delta_codec="vcdiff")
+    assert cfg.delta_codec == "vcdiff"
+    b = b"0123456789abcdef" * 64
+    t = b"0123456789abcdef" * 30 + b"PATCH" + b"0123456789abcdef" * 34
+    assert DC.delta_decode(b, DC.delta_encode(b, t, codec="vcdiff"), codec="vcdiff") == t
