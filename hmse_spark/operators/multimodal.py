@@ -5,16 +5,18 @@ Training-data-pipeline extension. Image/audio/video payloads are opaque
 resize / frame-sample run as Arrow-batched ``mapInPandas`` so payload bytes
 never round-trip through Python row objects.
 
-Codec reality (round 4): self-contained formats decode for REAL with
-pure-stdlib/numpy codecs (functions/media.py) — netpbm images (PPM P6 /
-PGM P5) and PCM16 WAV audio — so resize and feature extraction do actual
-pixel/sample work for them. Container/compressed formats (JPEG, PNG,
-H.264, MP3, ...) still need PIL/ffmpeg, which this container lacks; those
-payloads fall back to a clearly-marked deterministic fake in ``auto`` mode
-(``decode_ok=False`` flags every fallback row) and raise in ``strict``
-mode. Swap a real library into functions/media.py and the plumbing —
-schema, partitioning, UDF signatures, batch shapes, byte accounting — is
-unchanged.
+Codec reality (round 5): formats whose compression the stdlib carries
+decode for REAL with pure-stdlib/numpy codecs (functions/media.py) —
+netpbm images (PPM P6 / PGM P5), PNG (zlib IDAT, all five scanline
+filters, CRC-verified chunks, gray/palette/RGB/RGBA at depth 8), and
+PCM16 WAV audio — so resize and feature extraction do actual pixel/sample
+work for them. Formats whose entropy coding has no stdlib primitive
+(JPEG, H.264, MP3, ...) still need PIL/ffmpeg, which this container
+lacks; those payloads fall back to a clearly-marked deterministic fake in
+``auto`` mode (``decode_ok=False`` flags every fallback row) and raise in
+``strict`` mode. Swap a real library into functions/media.py and the
+plumbing — schema, partitioning, UDF signatures, batch shapes, byte
+accounting — is unchanged.
 
 decode modes: ``auto`` (real codec when the payload sniffs as a supported
 format, deterministic fake otherwise), ``strict`` (raise on any payload a
@@ -58,12 +60,19 @@ def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
+            # alternate container formats so both real image codecs are on
+            # the synthetic surface: PPM and PNG (RGB / RGBA strata)
             w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
-            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payload = media.encode_ppm(img)
+            if i % 2:
+                ch = 4 if i % 4 == 1 else 3
+                img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+                payload, codec = media.encode_png(img), "png"
+            else:
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                payload, codec = media.encode_ppm(img), "ppm"
             meta = {
                 "width": w, "height": h, "sample_rate": None,
-                "duration_ms": None, "codec": "ppm",
+                "duration_ms": None, "codec": codec,
             }
         elif kind == "audio":
             rate = 16000
@@ -117,6 +126,8 @@ def _real_features(payload: bytes, dim: int, strict: bool) -> np.ndarray | None:
     try:
         if fmt in ("ppm", "pgm"):
             return media.image_features(media.decode_netpbm(payload), dim)
+        if fmt == "png":
+            return media.image_features(media.decode_png(payload), dim)
         if fmt == "wav":
             samples, rate = media.decode_wav(payload)
             return media.audio_features(samples, rate, dim)
@@ -150,9 +161,9 @@ def extract_features(
                 )
                 if real is None and decode == "strict":
                     raise NotImplementedError(
-                        "payload is not a supported self-contained format "
-                        "(netpbm/PCM-WAV); container codecs (JPEG/PNG/H.264/"
-                        "MP3) need PIL/ffmpeg, absent in this container"
+                        "payload is not a supported format (netpbm/PNG/"
+                        "PCM-WAV); JPEG/H.264/MP3 codecs need PIL/ffmpeg, "
+                        "absent in this container"
                     )
                 feats.append((real if real is not None else _fake_features(payload, dim)).tolist())
                 oks.append(real is not None)
@@ -214,19 +225,29 @@ def resize_images(
                 payload = bytes(payload)
                 fmt = None if decode == "deterministic_fake" else media.sniff(payload)
                 img = None
-                if fmt in ("ppm", "pgm"):
+                if fmt in ("ppm", "pgm", "png"):
                     try:
-                        img = media.decode_netpbm(payload)
+                        img = (
+                            media.decode_png(payload)
+                            if fmt == "png"
+                            else media.decode_netpbm(payload)
+                        )
                     except ValueError:
                         # sniffed right but failed to decode: auto falls back
                         # to the fake path, strict propagates
                         if decode == "strict":
                             raise
                 if img is not None:
-                    out_payload.append(media.encode_ppm(media.resize_nn(img, width, height)))
+                    # re-encode in the payload's own container format
+                    resized = media.resize_nn(img, width, height)
+                    out_payload.append(
+                        media.encode_png(resized)
+                        if fmt == "png"
+                        else media.encode_ppm(resized)
+                    )
                 elif decode == "strict":
                     raise NotImplementedError(
-                        "image payload is not netpbm; real JPEG/PNG resize "
+                        "image payload is not netpbm/PNG; real JPEG resize "
                         "needs PIL, absent in this container"
                     )
                 else:

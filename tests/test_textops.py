@@ -402,8 +402,14 @@ def test_multimodal_real_resize_roundtrip(spark):
         if r["kind"] != "image":
             continue
         assert (r["meta"]["width"], r["meta"]["height"]) == (24, 18)
-        img = media.decode_netpbm(bytes(r["payload"]))
-        assert img.shape == (18, 24, 3)
+        # resize re-encodes in the payload's own container format
+        payload = bytes(r["payload"])
+        if media.sniff(payload) == "png":
+            img = media.decode_png(payload)
+            assert img.shape[:2] == (18, 24) and img.shape[2] in (3, 4)
+        else:
+            img = media.decode_netpbm(payload)
+            assert img.shape == (18, 24, 3)
         # audit columns preserve the SOURCE dims, not the target
         assert (r["orig_width"], r["orig_height"]) == src_dims[r["asset_id"]]
 
@@ -450,8 +456,15 @@ def test_multimodal_resize_plumbing(spark):
         if r["kind"] == "image":
             assert r["meta"]["width"] == 64 and r["meta"]["height"] == 48
             assert r["orig_width"] is not None
-            # REAL resize: the output payload is a decodable 48x64 PPM
-            assert media.decode_netpbm(bytes(r["payload"])).shape == (48, 64, 3)
+            # REAL resize: the output payload is decodable at 48x64 in the
+            # source container format (PPM or PNG stratum)
+            payload = bytes(r["payload"])
+            img = (
+                media.decode_png(payload)
+                if media.sniff(payload) == "png"
+                else media.decode_netpbm(payload)
+            )
+            assert img.shape[:2] == (48, 64)
         else:
             assert r["meta"]["width"] == r["orig_width"]  # untouched passthrough
     # a non-netpbm image payload (container format) takes the documented
