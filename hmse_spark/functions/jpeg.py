@@ -1,0 +1,558 @@
+"""Baseline JPEG codec (ITU-T T.81 / ISO 10918-1), pure numpy + stdlib.
+
+The container has no PIL/libjpeg, but baseline sequential DCT JPEG needs
+no library primitives beyond arithmetic: Huffman coding, zigzag RLE,
+8x8 DCT, and YCbCr are all spec-level math. This module implements, from
+the public spec:
+
+- ``decode_jpeg``: baseline + extended-sequential Huffman JPEG (SOF0/SOF1)
+  — DQT/DHT/DRI/SOS parsing, bit-unstuffing, restart markers, arbitrary
+  h/v sampling factors (4:4:4, 4:2:0, 4:2:2, ...) with index-map chroma
+  upsampling, batch matrix IDCT, JFIF YCbCr->RGB. Progressive (SOF2),
+  arithmetic coding, 12-bit precision, and CMYK raise ValueError — the
+  multimodal auto-mode fallback contract (operators/multimodal.py).
+- ``encode_jpeg``: 8-bit grayscale / RGB, 4:4:4 or 4:2:0, the widely
+  published example luminance/chrominance quantization tables scaled by
+  the libjpeg quality formula, and complete canonical Huffman tables
+  (every DC size 0..11 at 4 bits, every valid AC run/size symbol at 8
+  bits — valid per the DHT grammar, chosen for simplicity over optimal
+  compression; the decoder reads whatever tables the stream declares, so
+  round-trips exercise the real table-build path).
+
+Decoding is exact spec arithmetic; encode->decode round-trips are lossy
+only through quantization (DC-only images survive within rounding).
+Per-block Huffman decoding walks bits in Python — fine for the asset
+sizes the multimodal operators synthesize; the Spark-side contract is
+unchanged (these run inside Arrow ``mapInPandas`` workers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --- shared spec tables -----------------------------------------------------
+
+
+def _zigzag() -> np.ndarray:
+    """The 64-entry zigzag scan order as (row, col) pairs, generated from
+    the traversal rule (odd anti-diagonals walk down, even walk up)."""
+    out = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(max(0, s - 7), min(s, 7) + 1)]
+        out.extend(diag if s % 2 else diag[::-1])
+    return np.array(out, dtype=np.int64)
+
+
+_ZZ = _zigzag()
+_ZZ_FLAT = _ZZ[:, 0] * 8 + _ZZ[:, 1]
+
+# 8x8 DCT-II basis: C[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+_DCT = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5) * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# the widely published example quantization tables (quality 50 reference)
+_Q_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+_Q_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+
+def _quality_scale(q_table: np.ndarray, quality: int) -> np.ndarray:
+    """The libjpeg quality formula over the reference tables."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q_table * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+# simple complete canonical Huffman tables (see module docstring):
+# DC: sizes 0..11, four bits each; AC: all 162 valid run/size symbols,
+# eight bits each. Canonical assignment leaves the all-ones code unused.
+_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_SYMBOLS = sorted(_AC_SYMBOLS)
+_AC_COUNTS = [0] * 7 + [162] + [0] * 8
+
+
+def _canonical_codes(counts: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 canonical code generation."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(counts: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for bitwise Huffman decoding."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(counts, symbols).items()
+    }
+
+
+# --- bit I/O with JPEG byte stuffing ---------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_byte(self) -> None:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # 1-pad to a byte boundary
+
+    def marker(self, m: int) -> None:
+        self.pad_byte()
+        self.out += bytes([0xFF, m])  # markers are never byte-stuffed
+
+    def flush(self) -> bytes:
+        self.pad_byte()
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"marker 0xFF{nxt:02X} inside entropy data" if nxt is not None
+                        else "truncated JPEG entropy stream"
+                    )
+            self.acc, self.nbits = b, 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self, n: int) -> None:
+        """Skip to the byte boundary and consume the expected RSTn marker."""
+        self.nbits = 0
+        if self.data[self.pos : self.pos + 2] != bytes([0xFF, 0xD0 + (n % 8)]):
+            raise ValueError(f"expected restart marker RST{n % 8}")
+        self.pos += 2
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 EXTEND: map the n-bit magnitude ``v`` to its signed value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Signed value -> (size, n-bit code) per the DC/AC coding convention."""
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1) & ((1 << size) - 1)
+
+
+# --- encoder ----------------------------------------------------------------
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(h, w) uint8 plane -> (n_block_rows, n_block_cols, 64) quantized
+    zigzagged coefficients; h/w must be multiples of 8."""
+    h, w = plane.shape
+    blocks = (
+        plane.astype(np.float64).reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+        - 128.0
+    )
+    coef = np.einsum("ux,rcxy,vy->rcuv", _DCT, blocks, _DCT)
+    # baseline AC magnitudes must fit 10 bits (DC diffs 11): at quality
+    # ~100 a basis-aligned pattern can quantize to 1024 with q=1, so clamp
+    quant = np.clip(np.round(coef / q), -1023, 1023).astype(np.int64)
+    return quant.reshape(h // 8, w // 8, 64)[:, :, _ZZ_FLAT]
+
+
+def _encode_block(
+    bw: _BitWriter, zz: np.ndarray, pred: int, dc_codes, ac_codes
+) -> int:
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - pred)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    bw.write(bits, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if last < 63:
+        code, length = ac_codes[0x00]
+        bw.write(code, length)
+    return dc
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, mh - h), (0, mw - w)), mode="edge")
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF JPEG.
+    ``subsample=True`` writes 4:2:0 (box-mean chroma), else 4:4:4;
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (the error-resilience feature real encoders use — here mainly
+    so the decoder's restart path is exercised by round-trips)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim not in (2, 3) or (img.ndim == 3 and img.shape[2] != 3):
+        raise ValueError(f"unsupported JPEG array shape {img.shape}")
+    h, w = img.shape[0], img.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError(f"degenerate JPEG dimensions {w}x{h}")
+    ql = _quality_scale(_Q_LUMA, quality)
+    qc = _quality_scale(_Q_CHROMA, quality)
+    gray = img.ndim == 2
+
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        a = img.astype(np.float64)
+        y = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+        cb = 128.0 - 0.168736 * a[:, :, 0] - 0.331264 * a[:, :, 1] + 0.5 * a[:, :, 2]
+        cr = 128.0 + 0.5 * a[:, :, 0] - 0.418688 * a[:, :, 1] - 0.081312 * a[:, :, 2]
+        planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1), (1, 1), (1, 1)]
+        qids = [0, 1, 1]
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * max_h, 8 * max_v
+    mcux = -(-w // mcu_w)
+    mcuy = -(-h // mcu_h)
+
+    coefs = []
+    for p, (sh, sv), qid in zip(planes, samp, qids):
+        if (sh, sv) != (max_h, max_v):
+            # box-mean downsample to this component's grid
+            fh, fv = max_h // sh, max_v // sv
+            ph = _pad_to(p, -(-p.shape[0] // fv) * fv, -(-p.shape[1] // fh) * fh)
+            p = ph.reshape(ph.shape[0] // fv, fv, ph.shape[1] // fh, fh).mean((1, 3))
+        p = np.clip(np.round(p), 0, 255)
+        p = _pad_to(p, mcuy * sv * 8, mcux * sh * 8)
+        coefs.append(_fdct_quant(p, ql if qid == 0 else qc))
+
+    dc_codes = _canonical_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_COUNTS, _AC_SYMBOLS)
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            m = my * mcux + mx
+            if restart_interval and m and m % restart_interval == 0:
+                bw.marker(0xD0 + (rst_n % 8))
+                rst_n += 1
+                preds = [0] * len(planes)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = coefs[ci][my * sv + by, mx * sh + bx]
+                        preds[ci] = _encode_block(bw, zz, preds[ci], dc_codes, ac_codes)
+
+    def dqt(qid: int, q: np.ndarray) -> bytes:
+        return _seg(0xDB, bytes([qid]) + bytes(int(v) for v in q.reshape(64)[_ZZ_FLAT]))
+
+    def dht(cls: int, tid: int, counts: list[int], symbols: list[int]) -> bytes:
+        return _seg(
+            0xC4, bytes([cls << 4 | tid]) + bytes(counts) + bytes(symbols)
+        )
+
+    ncomp = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, samp[ci][0] << 4 | samp[ci][1], qids[ci]])
+        sos += bytes([ci + 1, (qids[ci]) << 4 | qids[ci]])  # dc/ac table = qid
+    sos += bytes([0, 63, 0])
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, ql)
+    if not gray:
+        out += dqt(1, qc)
+    out += _seg(0xC0, sof)
+    out += dht(0, 0, _DC_COUNTS, _DC_SYMBOLS)
+    out += dht(1, 0, _AC_COUNTS, _AC_SYMBOLS)
+    if not gray:
+        out += dht(0, 1, _DC_COUNTS, _DC_SYMBOLS)
+        out += dht(1, 1, _AC_COUNTS, _AC_SYMBOLS)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big") + b"")
+    out += _seg(0xDA, sos)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- decoder ----------------------------------------------------------------
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline/extended-sequential Huffman JPEG -> uint8 (h, w) grayscale
+    or (h, w, 3) RGB. Raises ValueError on anything outside that profile
+    (progressive, arithmetic, 12-bit, CMYK, lossless, hierarchical)."""
+    if data[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    dri = 0
+    scan_at = None
+    scan_comps = None
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG segment header")
+        seglen = int.from_bytes(data[pos : pos + 2], "big")
+        seg = data[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                flat = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
+                table = np.zeros(64, dtype=np.int64)
+                table[_ZZ_FLAT] = flat
+                qt[tq] = table.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                symbols = list(seg[i + 17 : i + 17 + n])
+                huff[(cls, tid)] = _decode_table(counts, symbols)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline / extended sequential
+            if seg[0] != 8:
+                raise ValueError(f"{seg[0]}-bit JPEG precision unsupported")
+            fh = int.from_bytes(seg[1:3], "big")
+            fw = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if fh == 0 or fw == 0:
+                raise ValueError("JPEG with deferred/zero dimensions unsupported")
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG (CMYK?) unsupported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline/extended-sequential Huffman JPEG supported "
+                f"(SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tbl = seg[1 + 2 * c : 3 + 2 * c]
+                scan_comps.append((cs, tbl >> 4, tbl & 15))
+            if (seg[1 + 2 * ns], seg[2 + 2 * ns]) != (0, 63):
+                raise ValueError("progressive/partial spectral selection unsupported")
+            scan_at = pos + seglen
+            break
+        # APPn / COM / others: skip
+        pos += seglen
+    if frame is None or scan_at is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    fh, fw, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    if max_h == 0 or max_v == 0 or any(c["h"] == 0 or c["v"] == 0 for c in comps):
+        raise ValueError("zero sampling factor")
+    mcux = -(-fw // (8 * max_h))
+    mcuy = -(-fh // (8 * max_v))
+
+    order = []
+    for cs, dct, act in scan_comps:
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError(f"scan names unknown component {cs}")
+        if (0, dct) not in huff or (1, act) not in huff or c["tq"] not in qt:
+            raise ValueError("scan references an undeclared Huffman/quant table")
+        order.append((c, huff[(0, dct)], huff[(1, act)], qt[c["tq"]]))
+
+    blocks = {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.float64)
+        for c in comps
+    }
+    br = _BitReader(data, scan_at)
+    preds = {c["id"]: 0 for c in comps}
+    rst_n = 0
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if dri and m and m % dri == 0:
+            br.sync_restart(rst_n)
+            rst_n += 1
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for c, dc_t, ac_t, q in order:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = np.zeros(64, dtype=np.int64)
+                    s = br.decode_huff(dc_t)
+                    preds[c["id"]] += _extend(br.receive(s), s)
+                    coef[0] = preds[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = br.decode_huff(ac_t)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC coefficient index overflow")
+                        coef[k] = _extend(br.receive(s), s)
+                        k += 1
+                    deq = np.zeros((8, 8), dtype=np.float64)
+                    deq.reshape(64)[_ZZ_FLAT] = coef * q.reshape(64)[_ZZ_FLAT]
+                    blocks[c["id"]][my * c["v"] + by, mx * c["h"] + bx] = deq
+
+    planes = []
+    for c in comps:
+        b = blocks[c["id"]]
+        spatial = np.einsum("xu,rcuv,yv->rcxy", _DCT.T, b, _DCT.T)
+        rows, cols = b.shape[0], b.shape[1]
+        plane = spatial.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8) + 128.0
+        # crop to this component's true dims, then index-map up to frame size
+        ch = -(-fh * c["v"] // max_v)
+        cw = -(-fw * c["h"] // max_h)
+        plane = plane[:ch, :cw]
+        ys = np.arange(fh) * c["v"] // max_v
+        xs = np.arange(fw) * c["h"] // max_h
+        planes.append(plane[np.minimum(ys, ch - 1)][:, np.minimum(xs, cw - 1)])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -5,18 +5,19 @@ Training-data-pipeline extension. Image/audio/video payloads are opaque
 resize / frame-sample run as Arrow-batched ``mapInPandas`` so payload bytes
 never round-trip through Python row objects.
 
-Codec reality (round 5): formats whose compression the stdlib carries
-decode for REAL with pure-stdlib/numpy codecs (functions/media.py) —
-netpbm images (PPM P6 / PGM P5), PNG (zlib IDAT, all five scanline
-filters, CRC-verified chunks, gray/palette/RGB/RGBA at depth 8), and
-PCM16 WAV audio — so resize and feature extraction do actual pixel/sample
-work for them. Formats whose entropy coding has no stdlib primitive
-(JPEG, H.264, MP3, ...) still need PIL/ffmpeg, which this container
-lacks; those payloads fall back to a clearly-marked deterministic fake in
-``auto`` mode (``decode_ok=False`` flags every fallback row) and raise in
-``strict`` mode. Swap a real library into functions/media.py and the
-plumbing — schema, partitioning, UDF signatures, batch shapes, byte
-accounting — is unchanged.
+Codec reality (round 5): images and PCM audio decode for REAL with
+pure-stdlib/numpy codecs (functions/media.py) — netpbm (PPM P6 / PGM P5),
+PNG (zlib IDAT, all five scanline filters, CRC-verified chunks,
+gray/palette/RGB/RGBA at depth 8), baseline JPEG (ITU-T T.81: Huffman +
+zigzag + 8x8 DCT + YCbCr, restart markers, 4:2:0/4:2:2/4:4:4 —
+functions/jpeg.py), and PCM16 WAV — so resize and feature extraction do
+actual pixel/sample work for them. Video/perceptual-audio codecs (H.264,
+MP3, ...) still need ffmpeg, which this container lacks; those payloads
+fall back to a clearly-marked deterministic fake in ``auto`` mode
+(``decode_ok=False`` flags every fallback row) and raise in ``strict``
+mode. Swap a real library into functions/media.py and the plumbing —
+schema, partitioning, UDF signatures, batch shapes, byte accounting — is
+unchanged.
 
 decode modes: ``auto`` (real codec when the payload sniffs as a supported
 format, deterministic fake otherwise), ``strict`` (raise on any payload a
@@ -60,13 +61,20 @@ def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
-            # alternate container formats so both real image codecs are on
-            # the synthetic surface: PPM and PNG (RGB / RGBA strata)
+            # rotate container formats so every real image codec is on the
+            # synthetic surface: PPM, PNG (RGB/RGBA strata), baseline JPEG
             w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
-            if i % 2:
-                ch = 4 if i % 4 == 1 else 3
+            stratum = (i // 3) % 3
+            if stratum == 1:
+                ch = 4 if i % 2 else 3
                 img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
                 payload, codec = media.encode_png(img), "png"
+            elif stratum == 2:
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                payload, codec = (
+                    media.encode_jpeg(img, quality=85, subsample=bool(i % 2)),
+                    "jpeg",
+                )
             else:
                 img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                 payload, codec = media.encode_ppm(img), "ppm"
@@ -128,6 +136,8 @@ def _real_features(payload: bytes, dim: int, strict: bool) -> np.ndarray | None:
             return media.image_features(media.decode_netpbm(payload), dim)
         if fmt == "png":
             return media.image_features(media.decode_png(payload), dim)
+        if fmt == "jpg":
+            return media.image_features(media.decode_jpeg(payload), dim)
         if fmt == "wav":
             samples, rate = media.decode_wav(payload)
             return media.audio_features(samples, rate, dim)
@@ -162,7 +172,7 @@ def extract_features(
                 if real is None and decode == "strict":
                     raise NotImplementedError(
                         "payload is not a supported format (netpbm/PNG/"
-                        "PCM-WAV); JPEG/H.264/MP3 codecs need PIL/ffmpeg, "
+                        "JPEG/PCM-WAV); H.264/MP3 codecs need ffmpeg, "
                         "absent in this container"
                     )
                 feats.append((real if real is not None else _fake_features(payload, dim)).tolist())
@@ -225,13 +235,15 @@ def resize_images(
                 payload = bytes(payload)
                 fmt = None if decode == "deterministic_fake" else media.sniff(payload)
                 img = None
-                if fmt in ("ppm", "pgm", "png"):
+                decoders = {
+                    "ppm": media.decode_netpbm,
+                    "pgm": media.decode_netpbm,
+                    "png": media.decode_png,
+                    "jpg": media.decode_jpeg,
+                }
+                if fmt in decoders:
                     try:
-                        img = (
-                            media.decode_png(payload)
-                            if fmt == "png"
-                            else media.decode_netpbm(payload)
-                        )
+                        img = decoders[fmt](payload)
                     except ValueError:
                         # sniffed right but failed to decode: auto falls back
                         # to the fake path, strict propagates
@@ -240,15 +252,16 @@ def resize_images(
                 if img is not None:
                     # re-encode in the payload's own container format
                     resized = media.resize_nn(img, width, height)
-                    out_payload.append(
-                        media.encode_png(resized)
-                        if fmt == "png"
-                        else media.encode_ppm(resized)
-                    )
+                    if fmt == "png":
+                        out_payload.append(media.encode_png(resized))
+                    elif fmt == "jpg":
+                        out_payload.append(media.encode_jpeg(resized))
+                    else:
+                        out_payload.append(media.encode_ppm(resized))
                 elif decode == "strict":
                     raise NotImplementedError(
-                        "image payload is not netpbm/PNG; real JPEG resize "
-                        "needs PIL, absent in this container"
+                        "image payload is not netpbm/PNG/JPEG; H.264/MP3 "
+                        "decode needs ffmpeg, absent in this container"
                     )
                 else:
                     # fake resize: content-derived bytes, sized ~ w*h/8 so

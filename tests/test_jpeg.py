@@ -1,0 +1,179 @@
+"""Baseline JPEG codec (functions/jpeg.py): transform-level invariants
+(DCT orthonormality, zigzag order, EXTEND/magnitude duality), lossy
+round-trip error bounds per sampling mode, restart-marker streams, loud
+rejection of unsupported profiles and corruption, and the multimodal
+auto/strict/resize wiring."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from hmse_spark.functions import jpeg, media
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+
+
+# --- transform-level invariants ---------------------------------------------
+
+
+def test_dct_basis_is_orthonormal():
+    assert np.allclose(jpeg._DCT @ jpeg._DCT.T, np.eye(8), atol=1e-12)
+
+
+def test_zigzag_order_prefix_and_coverage():
+    # the canonical first 10 entries of the scan, then a full permutation
+    assert jpeg._ZZ[:10].tolist() == [
+        [0, 0], [0, 1], [1, 0], [2, 0], [1, 1],
+        [0, 2], [0, 3], [1, 2], [2, 1], [3, 0],
+    ]
+    assert sorted(jpeg._ZZ_FLAT.tolist()) == list(range(64))
+    assert jpeg._ZZ_FLAT[63] == 63
+
+
+def test_extend_inverts_magnitude_coding():
+    for v in range(-1023, 1024):
+        size, bits = jpeg._magnitude(v)
+        assert jpeg._extend(bits, size) == v
+
+
+def test_huffman_tables_are_prefix_complete():
+    for counts, symbols in [
+        (jpeg._DC_COUNTS, jpeg._DC_SYMBOLS),
+        (jpeg._AC_COUNTS, jpeg._AC_SYMBOLS),
+    ]:
+        codes = jpeg._canonical_codes(counts, symbols)
+        assert len(codes) == len(symbols)
+        seen = set(codes.values())
+        assert len(seen) == len(codes)
+        # no code is a prefix of another (single length here, so distinctness
+        # suffices) and the all-ones word stays unused
+        lengths = {length for _, length in seen}
+        for length in lengths:
+            assert ((1 << length) - 1, length) not in seen
+
+
+# --- round-trips ------------------------------------------------------------
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_jpeg_roundtrip_error_bounds(subsample):
+    img = _gradient(40, 56)
+    data = jpeg.encode_jpeg(img, quality=85, subsample=subsample)
+    assert media.sniff(data) == "jpg"
+    out = jpeg.decode_jpeg(data)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= (6 if subsample else 4)
+    assert err.mean() <= 1.5
+
+
+def test_jpeg_uniform_color_is_lossless_modulo_rounding():
+    flat = np.full((24, 24, 3), 77, dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(flat, quality=75))
+    assert np.abs(out.astype(int) - 77).max() <= 1
+
+
+def test_jpeg_grayscale_roundtrip():
+    yy, xx = np.mgrid[0:33, 0:41]
+    g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=90))
+    assert out.shape == g.shape and out.ndim == 2
+    assert np.abs(out.astype(int) - g.astype(int)).mean() <= 2
+
+
+@pytest.mark.parametrize("dri", [1, 3, 7])
+def test_jpeg_restart_marker_roundtrip(dri):
+    img = _gradient(48, 64)
+    for subsample in (False, True):
+        data = jpeg.encode_jpeg(img, quality=80, subsample=subsample, restart_interval=dri)
+        assert b"\xff\xdd" in data  # DRI segment present
+        out = jpeg.decode_jpeg(data)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=50, max_value=95),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_roundtrip_never_crashes_and_keeps_shape(h, w, quality, subsample, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=quality, subsample=subsample))
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_jpeg_adversarial_basis_pattern_at_quality_100():
+    # a DCT-basis-aligned checkerboard at quality 100 drives quantized
+    # coefficients to the 10-bit clamp; must stay in-profile and decode
+    xx = np.arange(32)
+    patt = np.where((xx[:, None] // 1 + xx[None, :]) % 2 == 0, 255, 0).astype(np.uint8)
+    img = np.stack([patt] * 3, axis=2)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=100))
+    assert out.shape == img.shape
+
+
+# --- loud rejection ---------------------------------------------------------
+
+
+def test_jpeg_rejects_unsupported_profiles_and_corruption():
+    img = _gradient(16, 16)
+    good = jpeg.encode_jpeg(img, quality=85)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg.decode_jpeg(b"\x89PNG" + good)
+    # flip SOF0 marker to SOF2 (progressive)
+    sof_at = good.index(b"\xff\xc0")
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg.decode_jpeg(good[:sof_at] + b"\xff\xc2" + good[sof_at + 2 :])
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg.decode_jpeg(good[: len(good) // 2])
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(good[:2])  # SOI alone
+    with pytest.raises(ValueError, match="shape"):
+        jpeg.encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="degenerate"):
+        jpeg.encode_jpeg(np.zeros((0, 4, 3), dtype=np.uint8))
+
+
+# --- multimodal wiring ------------------------------------------------------
+
+
+def test_multimodal_auto_decodes_jpeg_and_falls_back_on_corrupt(spark):
+    from hmse_spark.operators import multimodal
+
+    img = _gradient(24, 18)
+    good = jpeg.encode_jpeg(img, quality=85)
+    rows = [
+        (1, "image", good, None),
+        (2, "image", b"\xff\xd8\xff\xe0junk that is not a scan", None),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in multimodal.extract_features(assets).collect()}
+    assert got[1]["decode_ok"] and not got[2]["decode_ok"]
+    direct = media.image_features(jpeg.decode_jpeg(good), 16)
+    assert np.allclose(got[1]["feature"], direct, atol=1e-6)
+
+
+def test_multimodal_resize_reencodes_jpeg_as_jpeg(spark):
+    from hmse_spark.operators import multimodal
+
+    img = _gradient(32, 20)
+    rows = [(1, "image", jpeg.encode_jpeg(img, quality=85), None)]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    out = multimodal.resize_images(assets, 10, 8).collect()[0]
+    payload = bytes(out["payload"])
+    assert media.sniff(payload) == "jpg"
+    resized = jpeg.decode_jpeg(payload)
+    assert resized.shape == (8, 10, 3)
+    want = media.resize_nn(jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85)), 10, 8)
+    assert np.abs(resized.astype(int) - want.astype(int)).max() <= 12  # re-encode loss

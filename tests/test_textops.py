@@ -404,12 +404,12 @@ def test_multimodal_real_resize_roundtrip(spark):
         assert (r["meta"]["width"], r["meta"]["height"]) == (24, 18)
         # resize re-encodes in the payload's own container format
         payload = bytes(r["payload"])
-        if media.sniff(payload) == "png":
-            img = media.decode_png(payload)
-            assert img.shape[:2] == (18, 24) and img.shape[2] in (3, 4)
-        else:
-            img = media.decode_netpbm(payload)
-            assert img.shape == (18, 24, 3)
+        img = {
+            "png": media.decode_png,
+            "jpg": media.decode_jpeg,
+            "ppm": media.decode_netpbm,
+        }[media.sniff(payload)](payload)
+        assert img.shape[:2] == (18, 24) and img.shape[2] in (3, 4)
         # audit columns preserve the SOURCE dims, not the target
         assert (r["orig_width"], r["orig_height"]) == src_dims[r["asset_id"]]
 
@@ -457,13 +457,13 @@ def test_multimodal_resize_plumbing(spark):
             assert r["meta"]["width"] == 64 and r["meta"]["height"] == 48
             assert r["orig_width"] is not None
             # REAL resize: the output payload is decodable at 48x64 in the
-            # source container format (PPM or PNG stratum)
+            # source container format (PPM, PNG, or JPEG stratum)
             payload = bytes(r["payload"])
-            img = (
-                media.decode_png(payload)
-                if media.sniff(payload) == "png"
-                else media.decode_netpbm(payload)
-            )
+            img = {
+                "png": media.decode_png,
+                "jpg": media.decode_jpeg,
+                "ppm": media.decode_netpbm,
+            }[media.sniff(payload)](payload)
             assert img.shape[:2] == (48, 64)
         else:
             assert r["meta"]["width"] == r["orig_width"]  # untouched passthrough
