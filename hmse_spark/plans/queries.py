@@ -852,12 +852,71 @@ def q_code_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_fingerprints", None)
+def _fmix64_fingerprint_oracle_sql() -> str:
+    """DuckDB re-implementation of the winnowing fingerprint: min over all
+    4-byte shingles of fmix64(shingle). 64-bit wraparound arithmetic has no
+    native DuckDB type (BIGINT ops raise on overflow), so each fmix64 stage
+    runs over HUGEINT in [0, 2^64): xor-shift via BIGINT xor on 32-bit
+    halves, multiply mod 2^64 via the split (hi*C mod 2^32)<<32 + lo*C
+    (every term < 2^97, inside HUGEINT). Staged CTEs keep the expression
+    from exponentiating. char==byte shingle parity needs ASCII text — the
+    exact precondition the substring/containment oracles already document.
+    A hash match certifies the shingle window, the full fmix64 avalanche
+    chain (the SimHash per-shingle hash, functions/hashing.py:125), the
+    min-winnow, and the two's-complement cast cross-engine."""
+    p32, p64 = 4294967296, 18446744073709551616
+    s33 = 1 << 33
+    c1, c2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+
+    def xor64(x: str, y: str) -> str:
+        return (
+            f"(CAST(xor(CAST(({x})//{p32} AS BIGINT), CAST(({y})//{p32} AS BIGINT)) AS HUGEINT)*{p32}"
+            f" + CAST(xor(CAST(({x})%{p32} AS BIGINT), CAST(({y})%{p32} AS BIGINT)) AS HUGEINT))"
+        )
+
+    def mulmod(x: str, c: int) -> str:
+        return f"((((({x})//{p32}) * {c}) % {p32}) * {p32} + (({x})%{p32}) * {c}) % {p64}"
+
+    xs = f"x//{s33}"
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             CAST(unicode(substr(g,1,1)) AS HUGEINT)
+             + 256*unicode(substr(g,2,1)) + 65536*unicode(substr(g,3,1))
+             + 16777216*CAST(unicode(substr(g,4,1)) AS HUGEINT) AS x
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, length(COALESCE(text,'')) - 2),
+                                         i -> substr(text, CAST(i AS INT), 4))) AS g
+            FROM documents WHERE length(COALESCE(text,'')) >= 4)
+    ),
+    a1 AS (SELECT doc_id, {xor64('x', xs)} AS x FROM sh),
+    m1 AS (SELECT doc_id, {mulmod('x', c1)} AS x FROM a1),
+    a2 AS (SELECT doc_id, {xor64('x', xs)} AS x FROM m1),
+    m2 AS (SELECT doc_id, {mulmod('x', c2)} AS x FROM a2),
+    a3 AS (SELECT doc_id, {xor64('x', xs)} AS x FROM m2),
+    f AS (SELECT doc_id, min(x) AS m FROM a3 GROUP BY doc_id)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(CASE WHEN f.m >= {p64 // 2} THEN f.m - {p64} ELSE f.m END, 0)
+                AS BIGINT) AS fingerprint
+    FROM documents d LEFT JOIN f USING (doc_id)
+    """
+
+
+@register("doc_fingerprints", _fmix64_fingerprint_oracle_sql())
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing doc fingerprint: min over 4-byte shingles of the fmix64
+    avalanche hash (functions/text.py::fingerprint_udf). Oracled since r5 —
+    the DuckDB side recomputes the identical hash chain in 64-bit-wraparound
+    HUGEINT arithmetic (see _fmix64_fingerprint_oracle_sql), upgrading this
+    from rows-only to a hard rows+schema+hash certificate and making the
+    driver's 50-entry window fully oracled."""
     from hmse_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.fingerprint_udf()(F.col("text")).alias("fingerprint"))
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        T.fingerprint_udf()(F.col("text")).alias("fingerprint"),
+    )
 
 
 @register(
@@ -2180,10 +2239,10 @@ _ROWS_ONLY_PRIORITY = [
     "ann_topk",
     "ivf_topk",
     # signature/digest projections whose semantics are pinned by pytest
+    # (doc_fingerprints left this list in r5: it gained a DuckDB oracle)
     "simhash_fingerprints",
     "multimodal_resize",
     "multimodal_features",
-    "doc_fingerprints",
 ]
 
 
