@@ -199,10 +199,35 @@ def test_prefix_filter_has_no_gram_partitioned_window(spark):
     assert plan.count("InMemoryTableScan") >= 2, plan
 
 
-def test_prefix_filter_capped_mode_is_salted_two_phase(spark):
-    """max_posting truncation must rank within (g, _salt) first so a hot
-    gram's bottom-N is computed by many tasks; the final per-gram re-rank
-    sees at most n_salt * max_posting rows per gram."""
+def test_prefix_filter_capped_mode_is_salted_two_phase_above_threshold(spark):
+    """Above salt_threshold, max_posting truncation must rank within
+    (g, _salt) first so a hot gram's bottom-N is computed by many tasks;
+    the final per-gram re-rank sees at most n_salt * max_posting rows per
+    gram. salt_threshold=0 forces the at-scale strategy at test size."""
+    import re
+
+    from hmse_spark.operators import verify
+
+    docs = load_table(spark, SF, "documents").selectExpr(
+        "doc_id AS file_id", "text AS content"
+    )
+    plan = _physical(
+        verify.prefix_filter_containment_candidates(
+            docs, threshold=0.9, max_posting=5, salt_threshold=0
+        )
+    )
+    # phase 1: a (g, _salt)-partitioned window must exist
+    assert re.search(r"windowspecdefinition\(g#\d+, _salt#", plan), plan
+    # and any bare-g window must be the phase-2 re-rank (ordered by uid),
+    # never a df count/posting rank over the raw gram frame
+    bare_g = re.findall(r"windowspecdefinition\(g#\d+, (\w+)#", plan)
+    assert all(col in ("_salt", "uid") for col in bare_g), bare_g
+
+
+def test_prefix_filter_capped_mode_uses_plain_rank_below_threshold(spark):
+    """Below salt_threshold (the measured-cheaper regime,
+    BENCH/PREFIXFILTER.md) the cap is one plain per-gram rank — no salt
+    column, no second phase."""
     import re
 
     from hmse_spark.operators import verify
@@ -213,9 +238,5 @@ def test_prefix_filter_capped_mode_is_salted_two_phase(spark):
     plan = _physical(
         verify.prefix_filter_containment_candidates(docs, threshold=0.9, max_posting=5)
     )
-    # phase 1: a (g, _salt)-partitioned window must exist
-    assert re.search(r"windowspecdefinition\(g#\d+, _salt#", plan), plan
-    # and any bare-g window must be the phase-2 re-rank (ordered by uid),
-    # never a df count/posting rank over the raw gram frame
-    bare_g = re.findall(r"windowspecdefinition\(g#\d+, (\w+)#", plan)
-    assert all(col in ("_salt", "uid") for col in bare_g), bare_g
+    assert "_salt" not in plan, "default threshold must pick the plain rank here"
+    assert re.search(r"windowspecdefinition\(g#\d+, uid#", plan), plan

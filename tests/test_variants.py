@@ -342,6 +342,16 @@ def test_prefix_filter_capped_mode_truncates_with_accounting(spark):
     assert capped < exact
     assert all(a <= 3 for a, _ in capped)
 
+    # the at-scale salted strategy (forced via salt_threshold=0) must be
+    # output-identical to the plain rank the adaptive default picked here
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in verify.prefix_filter_containment_candidates(
+            df, threshold=0.9, max_posting=3, salt_threshold=0
+        ).collect()
+    }
+    assert salted == capped
+
     report = verify.prefix_filter_posting_report(df, max_posting=3).collect()
     assert report, "oversized posting lists must be reported"
     assert all(r["posting_size"] == 8 and r["kept"] == 3 and r["elided"] == 5 for r in report)

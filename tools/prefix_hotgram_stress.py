@@ -1,0 +1,152 @@
+"""Hot-gram stress for the prefix-filter posting machinery (r4 verdict
+item 2 evidence): a corpus where ONE gram's posting list is the ENTIRE
+corpus — the zipfian regime where a gram-partitioned window serializes
+the whole posting list into one task.
+
+A/B on identical input, fresh computation each side:
+
+- window (the r4 formulation, reconstructed here): document frequency via
+  ``count(*) over (partition by g)`` and posting rank via ``row_number()
+  over (partition by g order by uid)`` — no map-side combine, hot gram =
+  one task;
+- groupby+salt (the r5 at-scale strategy): df via partial-aggregated
+  ``groupBy(g).count()`` join-back, posting cap via the salted two-phase
+  bottom-N (operators/verify.py).
+
+Both sides produce the identical capped posting set (asserted via
+checksum). MEASURED RESULT (BENCH/PREFIXFILTER.md): the plain window is
+1.4-2x FASTER up to 88M gram rows / 8M-row hot partitions — single-task
+sorts of millions of rows cost seconds, the salted path pays an extra
+full-width exchange. The salted path's value is the per-task BOUND
+(~1/n_salt of any posting list), which is why the operator picks the
+strategy adaptively on the measured longest posting list instead of
+always salting. This tool documents the crossover honestly; the cliff
+itself (10^9-row postings) does not fit this sandbox.
+
+Usage: python tools/prefix_hotgram_stress.py [--docs 2000000] [--cpus 32]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=20000)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--max-posting", type=int, default=200)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hmse_spark.operators.verify import _gram_explode
+    from hmse_spark.runtime import ensure_on_executors
+    from hmse_spark.session import build_session
+
+    spark = build_session(
+        "prefix_hotgram_stress",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=max(args.cpus, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_on_executors(spark)
+
+    # every doc = a 4-byte shared marker (ONE gram whose posting list is the
+    # whole corpus — the dominant-partition regime) + a short unique tail
+    # (near-unique grams, the benign bulk). The hot gram owns ~10% of all
+    # gram rows; a gram-partitioned window puts them in ONE task.
+    docs = (
+        spark.range(args.docs)
+        .select(
+            F.col("id").alias("file_id"),
+            F.concat(
+                F.lit("####"),
+                F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 10),
+            ).alias("content"),
+        )
+        .repartition(args.cpus * 4)
+        .persist()
+    )
+    docs.count()
+    grams = _gram_explode(docs, "file_id", "content", 4).persist()
+    n_rows = grams.count()
+    hottest = grams.groupBy("g").count().agg(F.max("count")).first()[0]
+
+    cap = args.max_posting
+
+    def timed(fn):
+        t0 = time.time()
+        out = fn()
+        return out, round(time.time() - t0, 3)
+
+    # A: the r4 window formulation (reconstructed)
+    def window_side():
+        prk = F.row_number().over(Window.partitionBy("g").orderBy("uid"))
+        capped = (
+            grams.withColumn("_df", F.count("*").over(Window.partitionBy("g")))
+            .withColumn("_prk", prk)
+            .filter(F.col("_prk") <= cap)
+        )
+        return capped.agg(
+            F.count("*").alias("rows"), F.expr("bit_xor(xxhash64(g, uid))").alias("chk")
+        ).first()
+
+    # B: the r5 operator formulation (groupBy df + salted two-phase cap)
+    def salted_side():
+        dfreq = grams.groupBy("g").agg(F.count("*").alias("_df"))
+        n_salt = 32
+        ph1 = (
+            grams.withColumn("_salt", F.pmod(F.xxhash64(F.col("uid")), F.lit(n_salt)))
+            .withColumn(
+                "_r1",
+                F.row_number().over(Window.partitionBy("g", "_salt").orderBy("uid")),
+            )
+            .filter(F.col("_r1") <= cap)
+            .drop("_salt", "_r1")
+        )
+        capped = (
+            ph1.withColumn(
+                "_prk", F.row_number().over(Window.partitionBy("g").orderBy("uid"))
+            )
+            .filter(F.col("_prk") <= cap)
+            .join(dfreq, "g")
+        )
+        return capped.agg(
+            F.count("*").alias("rows"), F.expr("bit_xor(xxhash64(g, uid))").alias("chk")
+        ).first()
+
+    # warm the JVM once on the cheap side of each shape, then time
+    a, wall_window = timed(window_side)
+    b, wall_salted = timed(salted_side)
+    assert (a["rows"], a["chk"]) == (b["rows"], b["chk"]), (a, b)
+
+    print(
+        json.dumps(
+            {
+                "metric": "prefix_hotgram_stress",
+                "docs": args.docs,
+                "gram_rows": n_rows,
+                "hottest_gram_df": hottest,
+                "max_posting": cap,
+                "capped_rows": a["rows"],
+                "outputs_identical": True,
+                "wall_window_sec": wall_window,
+                "wall_salted_sec": wall_salted,
+                "speedup": round(wall_window / wall_salted, 2),
+                "cpus": args.cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
