@@ -1,0 +1,260 @@
+"""GIF codec (GIF87a/GIF89a, the public CompuServe/W3C specification),
+pure numpy + stdlib — no PIL.
+
+- ``decode_gif``: header + logical screen descriptor, global/local color
+  tables, extension-block skipping, variable-width LSB-first LZW with
+  clear/EOI codes and the deferred +1 code-size alignment, Adam-style
+  4-pass deinterlacing, palette mapping to (h, w, 3) RGB. Decodes the
+  FIRST image frame (animation = repeated frames of the same machinery;
+  frame_sample_plan in operators/multimodal.py is the multi-frame
+  surface). Unknown blocks and truncation raise ValueError — the
+  multimodal auto-fallback contract.
+- ``encode_gif``: (h, w, 3) RGB with <= 256 distinct colors, or (h, w)
+  grayscale (256-entry gray palette), single non-interlaced frame,
+  dictionary LZW with a CLEAR reset before the 12-bit ceiling.
+
+The LZW code-size handshake (the classic off-by-one): the encoder grows
+its code width when ``next_code > (1 << code_size)`` while the decoder
+grows at ``len(dict) == (1 << code_size)`` — the decoder's dictionary
+runs one entry behind the encoder's at read time (it needs the NEXT
+code's first symbol to complete an entry), and this pairing keeps both
+sides switching widths between the same two codes. Verified by
+round-trips AND a hand-assembled spec stream in tests/test_gif.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+# --- LZW --------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = pos = 0
+    code_size = min_code_size + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream (no EOI)")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and code not in (clear, eoi):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt GIF LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+        if len(out) >= n_expected:
+            # some writers omit EOI after the last pixel; stop exactly there
+            break
+    if len(out) < n_expected:
+        raise ValueError(f"GIF LZW produced {len(out)} of {n_expected} pixels")
+    return bytes(out[:n_expected])
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+
+    def reset() -> None:
+        nonlocal table, next_code, code_size
+        table = {bytes([i]): i for i in range(1 << min_code_size)}
+        next_code = eoi + 1
+        code_size = min_code_size + 1
+
+    emit(clear, code_size)
+    reset()
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4095:
+            emit(clear, code_size)
+            reset()
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# --- container --------------------------------------------------------------
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 with <= 256 distinct colors, or (h, w) uint8
+    grayscale -> single-frame non-interlaced GIF89a."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        indices = img
+    elif img.ndim == 3 and img.shape[2] == 3:
+        flat = img.reshape(-1, 3)
+        palette, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(palette) > 256:
+            raise ValueError(f"GIF needs <= 256 colors, got {len(palette)}")
+        indices = inv.reshape(img.shape[:2]).astype(np.uint8)
+    else:
+        raise ValueError(f"unsupported GIF array shape {img.shape}")
+    h, w = indices.shape
+    if h == 0 or w == 0:
+        raise ValueError(f"degenerate GIF dimensions {w}x{h}")
+    n_colors = len(palette)
+    ct_bits = max(1, int(np.ceil(np.log2(max(n_colors, 2)))))
+    ct = np.zeros((1 << ct_bits, 3), dtype=np.uint8)
+    ct[:n_colors] = palette
+    min_code_size = max(2, ct_bits)
+
+    out = bytearray(b"GIF89a")
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out.append(0x80 | ((ct_bits - 1) & 0x07))  # GCT present, 2^ct_bits entries
+    out += b"\x00\x00"  # background index, aspect
+    out += ct.tobytes()
+    out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out.append(0)  # no LCT, not interlaced
+    out.append(min_code_size)
+    lzw = _lzw_encode(indices.tobytes(), min_code_size)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """First frame of a GIF87a/GIF89a -> (h, w, 3) uint8 RGB."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("truncated GIF global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated GIF extension")
+                n = data[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+        # image descriptor
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF image descriptor")
+        w = int.from_bytes(data[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(data[pos + 6 : pos + 8], "little")
+        flags = data[pos + 8]
+        pos += 9
+        if w == 0 or h == 0:
+            raise ValueError(f"degenerate GIF dimensions {w}x{h}")
+        ct = gct
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            ct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+            if ct.size != 3 * n:
+                raise ValueError("truncated GIF local color table")
+            ct = ct.reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= len(data):
+            raise ValueError("truncated GIF (no LZW code size)")
+        min_code_size = data[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"invalid GIF LZW minimum code size {min_code_size}")
+        lzw = bytearray()
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated GIF image data")
+            n = data[pos]
+            pos += 1
+            if n == 0:
+                break
+            lzw += data[pos : pos + n]
+            pos += n
+        idx = np.frombuffer(
+            _lzw_decode(bytes(lzw), min_code_size, w * h), dtype=np.uint8
+        ).reshape(h, w)
+        if flags & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = np.concatenate(
+                [np.arange(start, h, step) for start, step in _INTERLACE_PASSES]
+            )
+            out = np.empty_like(idx)
+            out[rows] = idx
+            idx = out
+        if int(idx.max(initial=0)) >= len(ct):
+            raise ValueError("GIF pixel index outside color table")
+        return ct[idx].copy()
+    raise ValueError("truncated GIF (no trailer)")

@@ -262,13 +262,16 @@ def decode_png(data: bytes) -> np.ndarray:
     return img[:, :, 0].copy() if ch == 1 else img.copy()
 
 
-# baseline JPEG codec (ITU-T T.81) lives in its own module; re-exported
-# here so the multimodal operators keep a single codec entry point
+# baseline JPEG (ITU-T T.81) and GIF (LZW) codecs live in their own
+# modules; re-exported here so the multimodal operators keep a single
+# codec entry point
+from hmse_spark.functions.gif import decode_gif, encode_gif  # noqa: E402,F401
 from hmse_spark.functions.jpeg import decode_jpeg, encode_jpeg  # noqa: E402,F401
 
 
 def sniff(data: bytes) -> str | None:
-    """Magic-number sniff: 'ppm' | 'pgm' | 'png' | 'jpg' | 'wav' | None."""
+    """Magic-number sniff: 'ppm' | 'pgm' | 'png' | 'jpg' | 'gif' | 'wav' |
+    None."""
     head = bytes(data[:12])
     if head[:2] == b"P6":
         return "ppm"
@@ -278,6 +281,8 @@ def sniff(data: bytes) -> str | None:
         return "png"
     if head[:3] == b"\xff\xd8\xff":
         return "jpg"
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return "wav"
     return None

@@ -10,7 +10,8 @@ pure-stdlib/numpy codecs (functions/media.py) — netpbm (PPM P6 / PGM P5),
 PNG (zlib IDAT, all five scanline filters, CRC-verified chunks,
 gray/palette/RGB/RGBA at depth 8), baseline JPEG (ITU-T T.81: Huffman +
 zigzag + 8x8 DCT + YCbCr, restart markers, 4:2:0/4:2:2/4:4:4 —
-functions/jpeg.py), and PCM16 WAV — so resize and feature extraction do
+functions/jpeg.py), GIF (variable-width LZW, interlacing, palettes —
+functions/gif.py), and PCM16 WAV — so resize and feature extraction do
 actual pixel/sample work for them. Video/perceptual-audio codecs (H.264,
 MP3, ...) still need ffmpeg, which this container lacks; those payloads
 fall back to a clearly-marked deterministic fake in ``auto`` mode
@@ -62,9 +63,10 @@ def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             # rotate container formats so every real image codec is on the
-            # synthetic surface: PPM, PNG (RGB/RGBA strata), baseline JPEG
+            # synthetic surface: PPM, PNG (RGB/RGBA strata), baseline
+            # JPEG, and GIF (palette stratum)
             w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
-            stratum = (i // 3) % 3
+            stratum = (i // 3) % 4
             if stratum == 1:
                 ch = 4 if i % 2 else 3
                 img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
@@ -75,6 +77,10 @@ def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
                     media.encode_jpeg(img, quality=85, subsample=bool(i % 2)),
                     "jpeg",
                 )
+            elif stratum == 3:
+                idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+                img = np.stack([idx * 16, 255 - idx * 12, idx * 7], axis=2)
+                payload, codec = media.encode_gif(img.astype(np.uint8)), "gif"
             else:
                 img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                 payload, codec = media.encode_ppm(img), "ppm"
@@ -138,6 +144,8 @@ def _real_features(payload: bytes, dim: int, strict: bool) -> np.ndarray | None:
             return media.image_features(media.decode_png(payload), dim)
         if fmt == "jpg":
             return media.image_features(media.decode_jpeg(payload), dim)
+        if fmt == "gif":
+            return media.image_features(media.decode_gif(payload), dim)
         if fmt == "wav":
             samples, rate = media.decode_wav(payload)
             return media.audio_features(samples, rate, dim)
@@ -172,7 +180,7 @@ def extract_features(
                 if real is None and decode == "strict":
                     raise NotImplementedError(
                         "payload is not a supported format (netpbm/PNG/"
-                        "JPEG/PCM-WAV); H.264/MP3 codecs need ffmpeg, "
+                        "JPEG/GIF/PCM-WAV); H.264/MP3 codecs need ffmpeg, "
                         "absent in this container"
                     )
                 feats.append((real if real is not None else _fake_features(payload, dim)).tolist())
@@ -240,6 +248,7 @@ def resize_images(
                     "pgm": media.decode_netpbm,
                     "png": media.decode_png,
                     "jpg": media.decode_jpeg,
+                    "gif": media.decode_gif,
                 }
                 if fmt in decoders:
                     try:
@@ -256,12 +265,17 @@ def resize_images(
                         out_payload.append(media.encode_png(resized))
                     elif fmt == "jpg":
                         out_payload.append(media.encode_jpeg(resized))
+                    elif fmt == "gif":
+                        # NN resize only re-samples existing pixels, so the
+                        # palette stays <= the source's 256 colors
+                        out_payload.append(media.encode_gif(resized))
                     else:
                         out_payload.append(media.encode_ppm(resized))
                 elif decode == "strict":
                     raise NotImplementedError(
-                        "image payload is not netpbm/PNG/JPEG; H.264/MP3 "
-                        "decode needs ffmpeg, absent in this container"
+                        "image payload is not netpbm/PNG/JPEG/GIF; "
+                        "H.264/MP3 decode needs ffmpeg, absent in this "
+                        "container"
                     )
                 else:
                     # fake resize: content-derived bytes, sized ~ w*h/8 so

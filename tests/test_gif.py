@@ -1,0 +1,165 @@
+"""GIF codec (functions/gif.py): round-trips over palette regimes, an
+independent hand-assembled spec stream (LZW bits packed LSB-first by the
+test itself, exercising the code-size handshake and extension skipping),
+interlaced decoding, loud rejection, and the multimodal wiring."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from hmse_spark.functions import gif, media
+
+
+# --- round-trips ------------------------------------------------------------
+
+
+def test_gif_roundtrip_palette_and_gray():
+    rng = np.random.default_rng(1)
+    idx = rng.integers(0, 6, size=(33, 47), dtype=np.uint8)
+    rgb = np.stack([idx * 40, 255 - idx * 30, idx * 11], axis=2).astype(np.uint8)
+    data = gif.encode_gif(rgb)
+    assert media.sniff(data) == "gif"
+    assert np.array_equal(gif.decode_gif(data), rgb)
+
+    g = rng.integers(0, 256, size=(60, 80), dtype=np.uint8)
+    out = gif.decode_gif(gif.encode_gif(g))
+    assert np.array_equal(out, np.stack([g] * 3, axis=2))
+
+
+def test_gif_roundtrip_dictionary_growth_and_clear_reset():
+    # long repetitive stream: the LZW dictionary fills to the 12-bit
+    # ceiling and the encoder's CLEAR reset must keep both sides in sync
+    big = np.tile(np.arange(256, dtype=np.uint8), (200, 2))
+    out = gif.decode_gif(gif.encode_gif(big))
+    assert np.array_equal(out[:, :, 0], big)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=2, max_value=256),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_gif_roundtrip_any_shape(h, w, n_colors, seed):
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, n_colors, size=(h, w)).astype(np.uint8)
+    assert np.array_equal(gif.decode_gif(gif.encode_gif(g))[:, :, 0], g)
+
+
+# --- independent spec stream ------------------------------------------------
+
+
+def _pack_lsb(codes):
+    """(code, size) pairs -> GIF LSB-first byte stream, packed by this test
+    with no help from the codec module."""
+    acc = nbits = 0
+    out = bytearray()
+    for code, size in codes:
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_decoder_against_hand_assembled_spec_stream():
+    """A 3x1 two-color GIF assembled from first principles: min code size
+    2 -> clear=4, EOI=5, 3-bit codes. Pixels [1, 0, 1] are three literal
+    codes; after the second and third data codes the decoder adds entries
+    6 and 7, reaching dictionary size 8 == 2^3, so EOI must be read at
+    FOUR bits — the code-size handshake, pinned independently of the
+    encoder. A graphic-control extension is interposed to exercise
+    extension skipping."""
+    lzw = _pack_lsb([(4, 3), (1, 3), (0, 3), (1, 3), (5, 4)])
+    data = (
+        b"GIF89a"
+        + b"\x03\x00\x01\x00"  # 3x1 logical screen
+        + bytes([0x80, 0, 0])  # GCT present, 2 entries
+        + bytes([10, 20, 30, 200, 210, 220])  # palette: index 0, index 1
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE extension (skipped)
+        + b"\x2c" + b"\x00\x00\x00\x00" + b"\x03\x00\x01\x00" + b"\x00"
+        + bytes([2])  # LZW min code size
+        + bytes([len(lzw)]) + lzw + b"\x00"
+        + b"\x3b"
+    )
+    out = gif.decode_gif(data)
+    assert out.shape == (1, 3, 3)
+    assert out.tolist() == [[[200, 210, 220], [10, 20, 30], [200, 210, 220]]]
+
+
+def test_gif_interlaced_decode():
+    """Rows permuted into the 4-pass interlace order and flagged must
+    decode back to the original raster."""
+    rng = np.random.default_rng(5)
+    h, w = 11, 7
+    idx = rng.integers(0, 4, size=(h, w), dtype=np.uint8)
+    order = np.concatenate(
+        [np.arange(s, h, step) for s, step in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+    stored = idx[order]  # rows as they appear in the stream
+    palette = bytes([0, 0, 0, 85, 85, 85, 170, 170, 170, 255, 255, 255])
+    lzw = gif._lzw_encode(stored.tobytes(), 2)
+    data = (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x81, 0, 0])  # GCT, 4 entries
+        + palette
+        + b"\x2c" + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x40])  # interlaced
+        + bytes([2]) + bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    )
+    out = gif.decode_gif(data)
+    assert np.array_equal(out[:, :, 0], idx * 85)
+
+
+# --- loud rejection ---------------------------------------------------------
+
+
+def test_gif_rejects_corruption_and_limits():
+    good = gif.encode_gif(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="not a GIF"):
+        gif.decode_gif(b"JIF89a" + good[6:])
+    with pytest.raises(ValueError, match="truncated"):
+        gif.decode_gif(good[: len(good) // 2])
+    with pytest.raises(ValueError, match="no image"):
+        gif.decode_gif(good[:13] + bytes(768) + b"\x3b")
+    with pytest.raises(ValueError, match="256 colors"):
+        rng = np.random.default_rng(0)
+        gif.encode_gif(rng.integers(0, 256, size=(20, 20, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="degenerate"):
+        gif.encode_gif(np.zeros((0, 4), dtype=np.uint8))
+
+
+# --- multimodal wiring ------------------------------------------------------
+
+
+def test_multimodal_auto_decodes_gif_and_resize_reencodes_gif(spark):
+    from hmse_spark.operators import multimodal
+
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 8, size=(24, 18), dtype=np.uint8)
+    img = np.stack([idx * 30, idx * 20, 255 - idx * 25], axis=2).astype(np.uint8)
+    good = gif.encode_gif(img)
+    rows = [
+        (1, "image", good, None),
+        (2, "image", b"GIF89a" + b"\x00" * 4, None),  # truncated
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in multimodal.extract_features(assets).collect()}
+    assert got[1]["decode_ok"] and not got[2]["decode_ok"]
+    assert np.allclose(got[1]["feature"], media.image_features(img, 16), atol=1e-6)
+
+    out = multimodal.resize_images(
+        assets.filter("asset_id = 1"), 9, 6
+    ).collect()[0]
+    payload = bytes(out["payload"])
+    assert media.sniff(payload) == "gif"
+    assert np.array_equal(gif.decode_gif(payload), media.resize_nn(img, 9, 6))

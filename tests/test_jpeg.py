@@ -123,6 +123,41 @@ def test_jpeg_adversarial_basis_pattern_at_quality_100():
     assert out.shape == img.shape
 
 
+# --- independent spec vector ------------------------------------------------
+
+
+def test_decoder_against_hand_assembled_spec_stream():
+    """A complete JPEG assembled from first principles in this test — no
+    encoder helpers, no shared bit writer — so the decoder is checked
+    against the T.81 spec itself rather than against our own encoder:
+
+    8x8 grayscale, quant table all 1s, uniform pixel value 160. The only
+    nonzero coefficient is DC = 8*(160-128) = 256 (orthonormal 2D DCT of a
+    constant block), so the scan is: DC size symbol 9, then 256 as 9
+    magnitude bits, then EOB. With the simple canonical tables (DC sizes
+    0..11 at 4 bits -> symbol 9 = code 1001; AC symbols at 8 bits, 0x00
+    first -> EOB = 00000000), the entropy data is
+    1001 100000000 00000000 padded with 1s to 3 bytes."""
+    bits = "1001" + "100000000" + "00000000"
+    bits += "1" * (-len(bits) % 8)
+    scan = int(bits, 2).to_bytes(len(bits) // 8, "big")
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
+    ac_syms = sorted([0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes([0] * 7 + [162] + [0] * 8) + bytes(ac_syms))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    data = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+
+    out = jpeg.decode_jpeg(data)
+    assert out.shape == (8, 8)
+    assert np.all(out == 160), out
+
+
 # --- loud rejection ---------------------------------------------------------
 
 

@@ -204,4 +204,4 @@ def test_synthesized_assets_include_decodable_png_stratum(spark):
     assert all(by_kind["image"]) and all(by_kind["audio"])
     assert not any(by_kind["video"])  # the honest stub stratum stays
     codecs = {r["meta"]["codec"] for r in assets.filter("kind='image'").collect()}
-    assert codecs == {"ppm", "png", "jpeg"}
+    assert codecs == {"ppm", "png", "jpeg", "gif"}

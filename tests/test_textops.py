@@ -407,6 +407,7 @@ def test_multimodal_real_resize_roundtrip(spark):
         img = {
             "png": media.decode_png,
             "jpg": media.decode_jpeg,
+            "gif": media.decode_gif,
             "ppm": media.decode_netpbm,
         }[media.sniff(payload)](payload)
         assert img.shape[:2] == (18, 24) and img.shape[2] in (3, 4)
@@ -462,6 +463,7 @@ def test_multimodal_resize_plumbing(spark):
             img = {
                 "png": media.decode_png,
                 "jpg": media.decode_jpeg,
+                "gif": media.decode_gif,
                 "ppm": media.decode_netpbm,
             }[media.sniff(payload)](payload)
             assert img.shape[:2] == (48, 64)
