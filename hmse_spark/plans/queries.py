@@ -2200,6 +2200,176 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptrs.select(F.col("file_id").alias("doc_id"), "file_sha", "base_id")
 
 
+def _murmur3_minhash_oracle_sql() -> str:
+    """DuckDB re-implementation of the frozen L4 MinHash core: per distinct
+    4-byte shingle and seed 1..128, the full MurmurHash3_x86_32 chain
+    (reference README.md:2589-2592) in 32-bit-wraparound arithmetic
+    (multiplies via HUGEINT mod 2^32; rotl as disjoint shift halves; xor on
+    BIGINT — the _fmix64_fingerprint_oracle_sql technique), then
+    min-per-seed. Restricted to a deterministic 10% doc stratum so the
+    128-seed cross join stays a few-second audit (~2.5M hash rows at
+    sf0.01) — this query is REGISTERED LAST on purpose: it sits outside
+    the driver's 50-entry window (which is already fully oracled) and is
+    exercised by tests/test_oracle_parity.py, giving the MinHash kernel a
+    cross-engine certificate on top of its published-vector pytest parity.
+    char==byte shingle parity needs ASCII text (the documented substring
+    precondition)."""
+    p32 = 4294967296
+
+    def mul32(x: str, c: int) -> str:
+        return f"CAST((CAST({x} AS HUGEINT) * {c}) % {p32} AS BIGINT)"
+
+    def rotl(x: str, r: int) -> str:
+        return f"((({x}) * {1 << r}) % {p32} + (({x}) // {1 << (32 - r)}))"
+
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 = 0 AND length(COALESCE(text, '')) >= 4
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(unicode(substr(g,1,1)) AS BIGINT)
+             + 256*unicode(substr(g,2,1)) + 65536*unicode(substr(g,3,1))
+             + 16777216*CAST(unicode(substr(g,4,1)) AS BIGINT) AS x
+      FROM (SELECT doc_id, unnest(list_transform(range(1, length(text) - 2),
+                                                 i -> substr(text, CAST(i AS INT), 4))) AS g
+            FROM docs)
+    ),
+    xs AS (SELECT doc_id, x, CAST(unnest(range(1, 129)) AS BIGINT) AS seed FROM sh),
+    k1 AS (SELECT doc_id, seed, {mul32('x', 0xCC9E2D51)} AS k FROM xs),
+    k2 AS (SELECT doc_id, seed, {rotl('k', 15)} AS k FROM k1),
+    k3 AS (SELECT doc_id, seed, {mul32('k', 0x1B873593)} AS k FROM k2),
+    h1 AS (SELECT doc_id, seed, xor(seed, k) AS h FROM k3),
+    h2 AS (SELECT doc_id, seed, {rotl('h', 13)} AS h FROM h1),
+    h3 AS (SELECT doc_id, seed, ({mul32('h', 5)} + 3864292196) % {p32} AS h FROM h2),
+    h4 AS (SELECT doc_id, seed, xor(h, 4) AS h FROM h3),
+    f1 AS (SELECT doc_id, seed, xor(h, h // 65536) AS h FROM h4),
+    f2 AS (SELECT doc_id, seed, {mul32('h', 0x85EBCA6B)} AS h FROM f1),
+    f3 AS (SELECT doc_id, seed, xor(h, h // 8192) AS h FROM f2),
+    f4 AS (SELECT doc_id, seed, {mul32('h', 0xC2B2AE35)} AS h FROM f3),
+    f5 AS (SELECT doc_id, seed, xor(h, h // 65536) AS h FROM f4),
+    m AS (SELECT doc_id, seed, min(h) AS mh FROM f5 GROUP BY doc_id, seed)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(MAX(CASE WHEN seed = 1 THEN mh END) AS BIGINT) AS sig_seed1,
+           CAST(MAX(CASE WHEN seed = 64 THEN mh END) AS BIGINT) AS sig_seed64,
+           CAST(MAX(CASE WHEN seed = 128 THEN mh END) AS BIGINT) AS sig_seed128,
+           CAST(SUM(mh) AS BIGINT) AS sig_sum
+    FROM m GROUP BY doc_id
+    """
+
+
+@register("minhash_murmur3_audit", _murmur3_minhash_oracle_sql())
+def q_minhash_murmur3_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine MinHash kernel audit: three signature elements (seeds
+    1, 64, 128) plus the unsigned sum over all 128, on a deterministic 10%
+    doc stratum. The DuckDB oracle recomputes MurmurHash3_x86_32 from
+    scratch (see _murmur3_minhash_oracle_sql); a hash match certifies the
+    shingle set, every murmur3 stage, the seed schedule, and the
+    min-reduction against an engine that shares none of the numpy kernel's
+    code. The L2-tiled kernel itself (operators/minhash.py) remains the
+    execution path — this query only projects its output."""
+    from hmse_spark.operators import minhash
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10 == 0) & (F.octet_length(F.coalesce(F.col("text"), F.lit(""))) >= 4))
+        .select(F.col("doc_id").alias("file_id"), F.col("text").alias("content"))
+    )
+    sig = minhash.add_signatures(docs)
+    u = F.transform(
+        "sig",
+        lambda v: F.when(v < 0, v.cast("long") + F.lit(4294967296).cast("long")).otherwise(
+            v.cast("long")
+        ),
+    )
+    return sig.select(
+        F.col("file_id").cast("long").alias("doc_id"),
+        u[0].alias("sig_seed1"),
+        u[63].alias("sig_seed64"),
+        u[127].alias("sig_seed128"),
+        F.aggregate(u, F.lit(0).cast("long"), lambda a, x: a + x).alias("sig_sum"),
+    )
+
+
+def _simhash_fmix64_oracle_sql() -> str:
+    """DuckDB re-implementation of the SimHash fingerprint (Charikar-2002
+    sign rule over fmix64 per-shingle hashes, operators/simhash.py): the
+    same 64-bit-wraparound fmix64 CTE chain as the doc-fingerprint oracle,
+    then per (doc, bit) majority votes via a 64-row power table and the
+    strict-majority rule ``2*ones > count`` (ties -> 0), packed
+    little-endian and two's-complemented. Same 10% stratum and
+    outside-the-window registration rationale as the murmur3 audit."""
+    p32, p64 = 4294967296, 18446744073709551616
+    s33 = 1 << 33
+    c1, c2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+
+    def xor64(x: str, y: str) -> str:
+        return (
+            f"(CAST(xor(CAST(({x})//{p32} AS BIGINT), CAST(({y})//{p32} AS BIGINT)) AS HUGEINT)*{p32}"
+            f" + CAST(xor(CAST(({x})%{p32} AS BIGINT), CAST(({y})%{p32} AS BIGINT)) AS HUGEINT))"
+        )
+
+    def mulmod(x: str, c: int) -> str:
+        return f"((((({x})//{p32}) * {c}) % {p32}) * {p32} + (({x})%{p32}) * {c}) % {p64}"
+
+    xs = f"x//{s33}"
+    pows = ", ".join(f"({b}, CAST({1 << b} AS HUGEINT))" for b in range(64))
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 = 0 AND length(COALESCE(text, '')) >= 4
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(unicode(substr(g,1,1)) AS HUGEINT)
+             + 256*unicode(substr(g,2,1)) + 65536*unicode(substr(g,3,1))
+             + 16777216*CAST(unicode(substr(g,4,1)) AS HUGEINT) AS x
+      FROM (SELECT doc_id, unnest(list_transform(range(1, length(text) - 2),
+                                                 i -> substr(text, CAST(i AS INT), 4))) AS g
+            FROM docs)
+    ),
+    a1 AS (SELECT doc_id, {xor64('x', xs)} AS x FROM sh),
+    m1 AS (SELECT doc_id, {mulmod('x', c1)} AS x FROM a1),
+    a2 AS (SELECT doc_id, {xor64('x', xs)} AS x FROM m1),
+    m2 AS (SELECT doc_id, {mulmod('x', c2)} AS x FROM a2),
+    a3 AS (SELECT doc_id, {xor64('x', xs)} AS h FROM m2),
+    n AS (SELECT doc_id, COUNT(*) AS cnt FROM a3 GROUP BY doc_id),
+    pows(b, p) AS (VALUES {pows}),
+    votes AS (
+      SELECT doc_id, b, p, SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE 0 END) AS ones
+      FROM a3 CROSS JOIN pows GROUP BY doc_id, b, p
+    ),
+    fp AS (
+      SELECT v.doc_id,
+             SUM(CASE WHEN 2 * v.ones > n.cnt THEN v.p ELSE CAST(0 AS HUGEINT) END) AS f
+      FROM votes v JOIN n USING (doc_id) GROUP BY v.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(CASE WHEN f >= {p64 // 2} THEN f - {p64} ELSE f END AS BIGINT) AS simhash
+    FROM fp
+    """
+
+
+@register("simhash_fmix64_audit", _simhash_fmix64_oracle_sql())
+def q_simhash_fmix64_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine SimHash fingerprint audit on the 10% doc stratum: the
+    oracle recomputes fmix64 per shingle and the strict-majority bit votes
+    from scratch (see _simhash_fmix64_oracle_sql); a hash match certifies
+    the shingle set, the avalanche chain, the per-bit vote, the tie rule,
+    and the little-endian packing cross-engine. The tiled bincount kernel
+    (operators/simhash.py) remains the execution path."""
+    from hmse_spark.operators import simhash
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10 == 0) & (F.octet_length(F.coalesce(F.col("text"), F.lit(""))) >= 4))
+        .select(F.col("doc_id").alias("file_id"), F.col("text").alias("content"))
+    )
+    fp = simhash.add_simhash(docs)
+    return fp.select(F.col("file_id").cast("long").alias("doc_id"), "simhash")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7 minimum slice: scan -> sha256 invariant -> exact-dedup
     groups -> refcounts. Used by ``__spark_entry__.entry``."""

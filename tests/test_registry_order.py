@@ -7,14 +7,27 @@ from hmse_spark.plans import queries as q
 DRIVER_WINDOW = 50
 
 
-def test_all_oracled_queries_inside_driver_window():
+# oracled queries that deliberately sit OUTSIDE the driver window: the
+# window is already 50/50 oracled, so these kernel audits trade the driver
+# gate for a pytest-level cross-engine certificate (test_oracle_parity runs
+# every registered oracle). Adding a name here is a conscious decision that
+# the query will NOT get a driver-side check.
+PYTEST_LEVEL_AUDITS = {"minhash_murmur3_audit", "simhash_fmix64_audit"}
+
+
+def test_driver_window_is_fully_oracled_and_overflow_is_explicit():
     names = list(q.queries())
     oracled = set(q.oracle_sql())
-    window = set(names[:DRIVER_WINDOW])
-    outside = oracled - window
-    assert not outside, (
-        f"oracled queries outside the driver's {DRIVER_WINDOW}-entry window: "
-        f"{sorted(outside)}"
+    window = names[:DRIVER_WINDOW]
+    not_oracled = [n for n in window if n not in oracled]
+    assert not not_oracled, (
+        f"rows-only queries inside the driver's {DRIVER_WINDOW}-entry window "
+        f"while oracled ones overflow: {not_oracled}"
+    )
+    outside = oracled - set(window)
+    assert outside <= PYTEST_LEVEL_AUDITS, (
+        f"oracled queries pushed outside the driver window without an "
+        f"explicit audit designation: {sorted(outside - PYTEST_LEVEL_AUDITS)}"
     )
 
 
