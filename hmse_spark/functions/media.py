@@ -262,11 +262,53 @@ def decode_png(data: bytes) -> np.ndarray:
     return img[:, :, 0].copy() if ch == 1 else img.copy()
 
 
+def _decoder(fn):
+    """Normalize every parse-time failure mode of a decoder to ValueError —
+    the single exception type the multimodal auto/strict contract is built
+    on. Adversarially malformed payloads can otherwise escape as
+    IndexError (a JPEG segment shorter than its declared fields),
+    wave.Error/RuntimeError/EOFError (stdlib wave on corrupt RIFF),
+    struct.error, or zlib.error — any of which would kill the whole
+    Arrow mapInPandas task in auto mode instead of falling back with
+    decode_ok=False. Found by the round-5 decoder fuzz
+    (tests/test_properties.py::test_decoders_never_escape_valueerror)."""
+    import functools
+    import struct as _struct
+
+    @functools.wraps(fn)
+    def wrapped(data, *args, **kwargs):
+        try:
+            return fn(data, *args, **kwargs)
+        except ValueError:
+            raise
+        except (
+            IndexError,
+            KeyError,
+            OverflowError,
+            EOFError,
+            RuntimeError,
+            _struct.error,
+            zlib.error,
+            wave.Error,
+        ) as ex:
+            raise ValueError(f"malformed {fn.__name__[7:]} payload: {ex!r}") from ex
+
+    return wrapped
+
+
 # baseline JPEG (ITU-T T.81) and GIF (LZW) codecs live in their own
-# modules; re-exported here so the multimodal operators keep a single
-# codec entry point
-from hmse_spark.functions.gif import decode_gif, encode_gif  # noqa: E402,F401
-from hmse_spark.functions.jpeg import decode_jpeg, encode_jpeg  # noqa: E402,F401
+# modules; re-exported here (error-normalized) so the multimodal
+# operators keep a single codec entry point
+from hmse_spark.functions import gif as _gif_mod  # noqa: E402
+from hmse_spark.functions import jpeg as _jpeg_mod  # noqa: E402
+from hmse_spark.functions.gif import encode_gif  # noqa: E402,F401
+from hmse_spark.functions.jpeg import encode_jpeg  # noqa: E402,F401
+
+decode_gif = _decoder(_gif_mod.decode_gif)
+decode_jpeg = _decoder(_jpeg_mod.decode_jpeg)
+decode_png = _decoder(decode_png)  # noqa: F811
+decode_netpbm = _decoder(decode_netpbm)  # noqa: F811
+decode_wav = _decoder(decode_wav)  # noqa: F811
 
 
 def sniff(data: bytes) -> str | None:

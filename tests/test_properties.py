@@ -167,3 +167,56 @@ def test_resize_nn_shape_and_value_domain(h, w, th, tw, seed):
     # NN never invents values: every output pixel exists in the source
     src = {tuple(p) for p in img.reshape(-1, 3)}
     assert all(tuple(p) in src for p in out.reshape(-1, 3))
+
+
+def test_decoders_never_escape_valueerror():
+    """The multimodal auto/strict contract is built on ValueError being THE
+    parse-failure type: anything else kills the whole Arrow task in auto
+    mode. Seeded fuzz over magic-prefixed garbage AND bit-flipped valid
+    files for every sniffable format — each decode must either succeed or
+    raise exactly ValueError (round-5 fuzz originally caught IndexError
+    from truncated JPEG segments and wave.Error/RuntimeError from corrupt
+    RIFF; media._decoder now normalizes them)."""
+    import random
+
+    from hmse_spark.functions import gif, jpeg, media
+
+    rng = random.Random(1234)
+    magics = [
+        b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a",
+        b"P6\n", b"P5\n", b"RIFF1234WAVE",
+    ]
+    decoders = {
+        "png": media.decode_png,
+        "jpg": media.decode_jpeg,
+        "gif": media.decode_gif,
+        "ppm": media.decode_netpbm,
+        "pgm": media.decode_netpbm,
+        "wav": media.decode_wav,
+    }
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    valid = [
+        media.encode_png(img),
+        jpeg.encode_jpeg(img),
+        gif.encode_gif(img),
+        media.encode_ppm(img),
+        media.encode_wav(np.zeros(64, dtype=np.int16), 8000),
+    ]
+    for trial in range(3000):
+        if trial % 4 == 0:
+            b = bytearray(rng.choice(valid))
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            payload = bytes(b)
+        else:
+            payload = rng.choice(magics) + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(0, 120))
+            )
+        fmt = media.sniff(payload)
+        if fmt is None:
+            continue
+        try:
+            decoders[fmt](payload)
+        except ValueError:
+            pass
+        # any other exception type propagates and fails the test
