@@ -1,0 +1,180 @@
+"""Watermarked windowed aggregation + custom stateful sessionization over
+Structured Streaming — the late-data half of the streaming surface
+(streaming/ingest.py owns replay-safe ingest; this module owns event-time
+semantics).
+
+Reference scope note: the reference (/root/reference/README.md) is a
+batch-only specification; these operators are part of the driver-mandated
+training-data extension surface (the events table's sessionization and
+hourly-rollup semantics, re-expressed over an unbounded stream).
+
+Both operators take ANY streaming (or batch) DataFrame — the stream
+source (file/kafka/rate) is the caller's choice, which keeps them
+testable with file sources and memory sinks:
+
+- ``windowed_event_counts``: tumbling or sliding event-time windows with
+  a watermark; in append output mode a window emits exactly once, when
+  the watermark passes its end, and events later than the watermark are
+  dropped by construction (the documented late-data contract, pinned by
+  tests/test_streaming_windowed.py with a file source fed one batch at a
+  time).
+- ``sessionize_stream``: gap-based sessions per user as a CUSTOM stateful
+  operator over ``applyInPandasWithState`` (GroupStateTimeout.
+  EventTimeTimeout): sessions that close *within* the data seen so far
+  (a gap > ``gap_minutes`` between consecutive events) emit immediately;
+  the still-open tail session lives in the group state and emits when
+  the event-time timeout fires — i.e. when the watermark passes
+  last_event + gap. Batch-mode ``sessionize.session_counts`` is the
+  equivalence oracle: on the same finite input, stream sessions ==
+  batch sessions (pinned by test).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    action_col: str = "action",
+) -> DataFrame:
+    """Per (event-time window, action) counts with a watermark.
+
+    Tumbling when ``slide`` is None, sliding otherwise. The plan is the
+    canonical streaming-agg shape: watermark -> window() -> partial+final
+    count (stateful aggregation keyed by window x action — state size is
+    bounded by (active windows) x (distinct actions), and the watermark
+    is what lets Spark evict closed windows instead of keeping state
+    forever). Columns: window_start, window_end, action, n_events."""
+    # the aggregation must group on the WATERMARKED column itself — a
+    # window over any other expression (even an alias of the same data)
+    # fails STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION in append mode
+    wts = F.col("_ts")
+    win = F.window(wts, window) if slide is None else F.window(wts, window, slide)
+    return (
+        events.withColumn("_ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_ts", watermark)
+        .groupBy(win.alias("_w"), F.col(action_col).alias("action"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "action",
+            "n_events",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+_US = 1_000_000
+
+
+def _session_fn(gap_us: int):
+    """The applyInPandasWithState update function, closed over the gap.
+
+    State = (start_us, last_us, n) of the one still-open session. Event
+    times arrive as pandas timestamps (naive UTC — the session timezone
+    is pinned UTC engine-wide); arithmetic runs in integer microseconds
+    so the state tuple is Spark-serializable primitives only."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield _pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [_pd.Timestamp(start, unit="us")],
+                    "session_end": [_pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts = (
+            _pd.concat([p["_ts"] for p in pdfs])
+            .astype("datetime64[us]")
+            .astype("int64")
+            .sort_values()
+        )
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = int(ts.iloc[0])
+            n = 0
+            # the first event is counted by the loop below only if it is a
+            # fresh session start; seed so the loop treats it uniformly
+        out_rows = []
+        for t in ts:
+            t = int(t)
+            if n and t - last > gap_us:
+                out_rows.append((start, last, n))
+                start, n = t, 0
+            last = max(last, t)
+            if n == 0:
+                start = min(start, t)
+            n += 1
+        state.update((start, last, n))
+        # event-time timeout: fire when the watermark passes last + gap
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
+        if out_rows:
+            yield _pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_rows),
+                    "session_start": [_pd.Timestamp(s, unit="us") for s, _, _ in out_rows],
+                    "session_end": [_pd.Timestamp(e, unit="us") for _, e, _ in out_rows],
+                    "n_events": [c for _, _, c in out_rows],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (``applyInPandasWithState`` + EventTimeTimeout — the API for operators
+    Spark's built-in aggregates can't express). Emits one row per CLOSED
+    session; the open tail session per user waits in state until the
+    watermark passes its last event + gap. Output schema:
+    (user_id, session_start, session_end, n_events)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * _US
+    prepared = (
+        events.select(
+            F.col(user_col).cast("long").alias("user_id"),
+            F.col(ts_col).cast("timestamp").alias("_ts"),
+        )
+        .withWatermark("_ts", watermark)
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_us),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,259 @@
+"""Watermarked windowed aggregation + stateful streaming sessionization
+(streaming/windowed.py), driven through a REAL file-source stream fed one
+file per micro-batch so event-time watermarks advance deterministically:
+
+- append-mode window emission exactly when the watermark passes the
+  window end;
+- late events beyond the watermark dropped, in-watermark stragglers kept;
+- applyInPandasWithState sessions: in-data gap splits emit immediately,
+  the open tail emits via EventTimeTimeout when the watermark passes
+  last_event + gap;
+- batch equivalence: closed stream sessions == the batch sessionizer's
+  sessions on the same finite input."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import uuid
+
+import pytest
+
+
+def _t(h: int, m: int = 0) -> dt.datetime:
+    return dt.datetime(2026, 3, 1, h, m, 0)
+
+
+class _Feeder:
+    """Writes one parquet file per feed and lets the streaming query absorb
+    it as its own micro-batch (processAllAvailable between feeds)."""
+
+    def __init__(self, spark, tmpdir: str):
+        self.spark = spark
+        self.dir = tmpdir
+        os.makedirs(tmpdir, exist_ok=True)
+        self.n = 0
+
+    def feed(self, rows, query=None):
+        df = self.spark.createDataFrame(rows, "user_id long, action string, ts timestamp")
+        df.coalesce(1).write.mode("append").parquet(self.dir)
+        self.n += 1
+        if query is not None:
+            query.processAllAvailable()
+
+
+@pytest.fixture()
+def stream_env(spark, tmp_path):
+    src = str(tmp_path / f"events_{uuid.uuid4().hex[:8]}")
+    feeder = _Feeder(spark, src)
+    # the source needs at least one file before readStream can infer... we
+    # pass the schema explicitly instead, so the stream can start empty
+    stream = (
+        spark.readStream.schema("user_id long, action string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return feeder, stream
+
+
+def test_windowed_counts_append_semantics_and_late_data(spark, stream_env):
+    from hmse_spark.streaming.windowed import windowed_event_counts
+
+    feeder, stream = stream_env
+    counts = windowed_event_counts(
+        stream, window="1 hour", watermark="30 minutes"
+    )
+    name = f"wincounts_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", feeder.dir + "_ckpt")
+        .start()
+    )
+    try:
+        # batch 1: two events in [10,11) and one at 12:00. The data batch
+        # runs with the watermark still at epoch, then processAllAvailable
+        # runs the no-data flush batch Spark schedules when the watermark
+        # advances (to 11:30 = 12:00 - 30 min), which finalizes and emits
+        # the [10,11) window with count 2.
+        feeder.feed(
+            [(1, "a", _t(10, 0)), (2, "a", _t(10, 30)), (3, "a", _t(12, 0))], q
+        )
+        got = {
+            (r["window_start"].hour, r["action"]): r["n_events"]
+            for r in spark.table(name).collect()
+        }
+        assert got == {(10, "a"): 2}, got
+        # batch 2: the late 10:05 straggler targets the now-CLOSED window
+        # and is dropped (Spark's late-data rule: rows are dropped when
+        # their WINDOW end <= watermark, not merely when older than the
+        # watermark); the 12:30 event lands in the open [12,13).
+        feeder.feed([(9, "a", _t(10, 5)), (3, "a", _t(12, 30))], q)
+        got = {
+            (r["window_start"].hour, r["action"]): r["n_events"]
+            for r in spark.table(name).collect()
+        }
+        assert got == {(10, "a"): 2}, got  # the closed window did NOT grow
+        # advance to 14:00 -> watermark 13:30 -> [12,13) finalizes with
+        # BOTH its events (12:00 from batch 1, 12:30 from batch 2)
+        feeder.feed([(3, "a", _t(14, 0))], q)
+        got = {
+            (r["window_start"].hour, r["action"]): r["n_events"]
+            for r in spark.table(name).collect()
+        }
+        assert got == {(10, "a"): 2, (12, "a"): 2}, got
+    finally:
+        q.stop()
+
+
+def test_windowed_counts_keeps_in_watermark_straggler(spark, stream_env):
+    from hmse_spark.streaming.windowed import windowed_event_counts
+
+    feeder, stream = stream_env
+    counts = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    name = f"winstrag_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", feeder.dir + "_ckpt")
+        .start()
+    )
+    try:
+        feeder.feed([(1, "a", _t(10, 0)), (1, "a", _t(11, 0))], q)
+        # straggler at 10:20: the [10,11) window is still OPEN under the
+        # 2 h watermark (9:00) -> counted, not dropped
+        feeder.feed([(2, "a", _t(10, 20))], q)
+        feeder.feed([(3, "a", _t(14, 0))], q)  # watermark -> 12:00
+        feeder.feed([(3, "a", _t(14, 1))], q)  # flush finalized windows
+        got = {
+            (r["window_start"].hour): r["n_events"]
+            for r in spark.table(name).collect()
+        }
+        assert got[10] == 2 and got[11] == 1, got
+    finally:
+        q.stop()
+
+
+def test_sessionize_stream_gap_splits_and_event_time_timeout(spark, stream_env):
+    from hmse_spark.streaming.windowed import sessionize_stream
+
+    feeder, stream = stream_env
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", feeder.dir + "_ckpt")
+        .start()
+    )
+    try:
+        # batch 1: user 1 has a 2-event session then a >30 min gap inside
+        # the SAME batch -> the first session emits immediately
+        feeder.feed(
+            [(1, "c", _t(9, 0)), (1, "c", _t(9, 10)), (1, "c", _t(10, 30))], q
+        )
+        rows = spark.table(name).collect()
+        assert len(rows) == 1
+        assert rows[0]["user_id"] == 1 and rows[0]["n_events"] == 2
+        assert rows[0]["session_start"] == _t(9, 0)
+        assert rows[0]["session_end"] == _t(9, 10)
+        # batch 2: next event for user 1 at 13:00 -> closes the 10:30
+        # session by data (gap > 30 min)
+        feeder.feed([(1, "c", _t(13, 0))], q)
+        rows = sorted(spark.table(name).collect(), key=lambda r: r["session_start"])
+        assert [(r["n_events"], r["session_start"]) for r in rows] == [
+            (2, _t(9, 0)),
+            (1, _t(10, 30)),
+        ]
+        # batch 3: an unrelated user at 18:00 pushes the watermark to
+        # 17:00, past 13:00 + 30 min -> user 1's open tail session emits
+        # via the event-time timeout, with no further user-1 data
+        feeder.feed([(2, "c", _t(18, 0))], q)
+        # one more empty-ish advance so the timeout batch flushes
+        feeder.feed([(2, "c", _t(18, 1))], q)
+        rows = sorted(spark.table(name).collect(), key=lambda r: r["session_start"])
+        got = [(r["user_id"], r["n_events"], r["session_start"], r["session_end"]) for r in rows]
+        assert (1, 1, _t(13, 0), _t(13, 0)) in got, got
+        assert len([r for r in rows if r["user_id"] == 1]) == 3
+    finally:
+        q.stop()
+
+
+def test_sessionize_stream_matches_batch_sessionizer(spark, stream_env):
+    """On a finite input fully flushed by a far-future watermark push, the
+    stream's sessions (per user: count + bounds) must equal the batch
+    sessionizer's on the same events — the cross-paradigm equivalence
+    oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hmse_spark.operators import sessionize as batch_sessionize
+    from hmse_spark.streaming.windowed import sessionize_stream
+
+    events = []
+    for u in range(1, 5):
+        base = 8 + u
+        events += [
+            (u, "x", _t(base, 0)),
+            (u, "x", _t(base, 10 + u)),
+            (u, "x", _t(base + 2, 0)),
+            (u, "x", _t(base + 2, 20)),
+        ]
+    feeder, stream = stream_env
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="10 minutes")
+    name = f"sesseq_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", feeder.dir + "_ckpt")
+        .start()
+    )
+    try:
+        feeder.feed(events, q)
+        # flush every open session: watermark far past everything
+        feeder.feed([(99, "x", _t(23, 0))], q)
+        feeder.feed([(99, "x", _t(23, 1))], q)
+        stream_rows = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.table(name).collect()
+            if r["user_id"] != 99
+        }
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(events, "user_id long, action string, ts timestamp")
+    batch = (
+        batch_df.withColumn(
+            "new_session",
+            (
+                F.col("ts").cast("long")
+                - F.lag("ts").over(
+                    Window.partitionBy("user_id").orderBy("ts")
+                ).cast("long")
+                > 1800
+            ).cast("int"),
+        )
+        .fillna(1, subset=["new_session"])
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                Window.partitionBy("user_id").orderBy("ts")
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    batch_rows = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert stream_rows == batch_rows
+    assert batch_sessionize is not None  # the module-level batch API exists
