@@ -47,16 +47,14 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def pii_counts(text_col) -> list[Column]:
-    """One `regexp_count` column per PII class, evaluated on the ORIGINAL
-    text (counts are independent diagnostics; the scrub itself is
-    sequential)."""
+    """One un-aliased `regexp_count` column per PII class, evaluated on the
+    ORIGINAL text (counts are independent diagnostics; the scrub itself is
+    sequential). This is THE count definition — pii_scrub consumes it, so
+    a pattern-table change cannot drift between the two."""
     t = F.coalesce(
         text_col if isinstance(text_col, Column) else F.col(text_col), F.lit("")
     )
-    return [
-        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
-        for name, pat, _ in PII_PATTERNS
-    ]
+    return [F.regexp_count(t, F.lit(pat)) for _, pat, _ in PII_PATTERNS]
 
 
 def scrubbed_col(text_col) -> Column:
@@ -74,8 +72,7 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """Per-doc PII report + redacted text. Pure map-side column math: the
     plan is scan -> project, no exchange at any scale; a downstream
     `n_pii > 0` filter pushes to the scan."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    raw = [F.regexp_count(t, F.lit(pat)) for _, pat, _ in PII_PATTERNS]
+    raw = pii_counts(text_col)
     total = raw[0]
     for c in raw[1:]:
         total = total + c
@@ -140,7 +137,6 @@ def registered_domain_oracle_sql(url_sql: str) -> str:
 def domain_stats(
     df: DataFrame,
     url_col: str = "url",
-    id_col: str = "doc_id",
     cap: int = 0,
     blocklist: list[str] | None = None,
 ) -> DataFrame:

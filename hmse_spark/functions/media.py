@@ -1,18 +1,20 @@
 """Pure-stdlib/numpy media codecs for the multimodal operators.
 
-The container has no PIL/ffmpeg/librosa, but formats whose compression the
-stdlib already carries need none of them: netpbm images (PPM P6 / PGM P5),
-PCM WAV audio (stdlib ``wave``), and — since round 5 — real PNG
-(RFC 2083 / ISO 15948: zlib IDAT inflate, all five scanline filters
-incl. Paeth, CRC-verified chunks, color types gray / gray+alpha /
-palette / RGB / RGBA at bit depth 8). These are REAL codecs — bytes in,
-pixels/samples out, round-trip tested — so the multimodal pipeline's
-decode / resize / feature steps do real work for these formats; only
-formats whose entropy coding has no stdlib primitive (JPEG, H.264, MP3)
+The container has no PIL/ffmpeg/librosa, but every common IMAGE container
+plus PCM audio is implementable without them (round 5): netpbm (PPM P6 /
+PGM P5), PCM WAV (stdlib ``wave``), PNG (RFC 2083 / ISO 15948: zlib IDAT
+inflate, all five scanline filters incl. Paeth, CRC-verified chunks,
+gray / gray+alpha / palette / RGB / RGBA at bit depth 8), baseline JPEG
+(ITU-T T.81 — functions/jpeg.py, re-exported here), and GIF
+(variable-width LZW — functions/gif.py, re-exported here). These are
+REAL codecs — bytes in, pixels/samples out, round-trip tested — so the
+multimodal pipeline's decode / resize / feature steps do real work for
+all of them; only video/perceptual-audio formats (H.264, MP3, ...)
 remain behind the documented stub (operators/multimodal.py).
 
 Everything is deterministic and per-batch vectorized; these functions run
-inside Arrow ``mapInPandas`` workers.
+inside Arrow ``mapInPandas`` workers. Every decode entry point is wrapped
+by ``_decoder`` so malformed payloads fail with ValueError only.
 """
 
 from __future__ import annotations

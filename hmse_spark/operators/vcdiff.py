@@ -38,6 +38,7 @@ _VCD_TARGET = 0x02
 
 _BLOCK = 16  # encoder block-hash granularity (matches the blockcopy codec)
 _MIN_RUN = 8  # encoder: shortest byte run worth a RUN instruction
+_MAX_WINDOW = 1 << 30  # decoder allocation safety ceiling per window
 
 
 # --- base-128 varints (RFC 3284 §2: MSB-first, high bit = continuation) ----
@@ -170,7 +171,11 @@ class _AddrCache:
             d = addr_buf[pos]
             pos += 1
             addr = self.same[(mode - 2 - _S_NEAR) * 256 + d]
-        if addr < 0 or addr > here:
+        # addresses are drawn from [0, here): copying FROM the position
+        # currently being produced (addr == here) is as corrupt as any
+        # out-of-range address — without this the overlap loop would index
+        # one past the growing target (review r5: IndexError escape)
+        if addr < 0 or addr >= here:
             raise ValueError(f"corrupt VCDIFF address {addr} (here={here})")
         self.update(addr)
         return addr, pos
@@ -270,9 +275,21 @@ def decode(base: bytes, delta: bytes) -> bytes:
     """Full-standard VCDIFF decode of ``delta`` against ``base`` — all code
     table entries, all address modes, VCD_SOURCE/VCD_TARGET windows,
     overlap-safe COPY. Rejects the optional features this engine never
-    produces (secondary compression, application data) loudly."""
+    produces (secondary compression, application data) loudly. Every
+    corruption/truncation path raises ValueError — byte reads that could
+    step past the buffer are funneled through _decode_impl's IndexError
+    normalization so the chunk-store read path sees one failure type."""
+    try:
+        return _decode_impl(base, delta)
+    except IndexError as ex:
+        raise ValueError(f"truncated VCDIFF delta: {ex}") from ex
+
+
+def _decode_impl(base: bytes, delta: bytes) -> bytes:
     if delta[:4] != _MAGIC:
         raise ValueError("not a VCDIFF (RFC 3284) delta")
+    if len(delta) < 5:
+        raise ValueError("truncated VCDIFF delta (no header indicator)")
     hdr, pos = delta[4], 5
     if hdr & 0x01:
         raise ValueError("VCD_DECOMPRESS (secondary compressor) unsupported")
@@ -305,6 +322,11 @@ def decode(base: bytes, delta: bytes) -> bytes:
         body_len, pos = _read_varint(delta, pos)
         body_end = pos + body_len
         tgt_len, pos = _read_varint(delta, pos)
+        if tgt_len > _MAX_WINDOW:
+            # safety ceiling, not an RFC limit: a corrupt varint must not
+            # drive gigabyte allocations through legitimate-looking RUNs.
+            # The chunk store's units are <= 16 KiB; 1 GiB is generous.
+            raise ValueError(f"VCDIFF window of {tgt_len} bytes exceeds cap")
         delta_ind = delta[pos]
         pos += 1
         if delta_ind:
@@ -332,6 +354,13 @@ def decode(base: bytes, delta: bytes) -> bytes:
                     continue
                 if size == 0:
                     size, ip = _read_varint(inst, ip)
+                if size > tgt_len - len(tgt):
+                    # a corrupt size varint must not drive a giant
+                    # allocation: no instruction may overrun the window's
+                    # declared target length
+                    raise ValueError(
+                        f"instruction size {size} overruns declared window"
+                    )
                 if kind == _ADD:
                     tgt.extend(data[dp : dp + size])
                     dp += size

@@ -221,8 +221,9 @@ def _prefix_gram_frames(
     # probe and index sides BOTH consume this frame and Spark's
     # exchange-reuse does not fire on the duplicated subtree (checked r4:
     # two Generate->Exchange chains, ~2 s duplicated at bench scale).
-    # Persist makes the sharing structural; the cache lives until
-    # unpersist/clearCache — the explicit price of one execution.
+    # Persist makes the sharing structural; ownership of the cache entry is
+    # handed to the operator's caller via release_gram_cache (r5 review:
+    # long-lived sessions otherwise accumulate one entry per call).
     from pyspark import StorageLevel
 
     annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
@@ -296,10 +297,13 @@ def prefix_filter_containment_candidates(
     applied before the distinct. The annotated gram frame is persisted
     inside the operator so probe and index sides share ONE execution
     (exchange reuse never fired on the duplicated subtree); call
-    ``spark.catalog.clearCache()`` to drop it in long-lived sessions.
+    ``release_gram_cache(result)`` after materializing the candidates to
+    drop it in long-lived sessions (a targeted unpersist — clearCache()
+    would evict unrelated caches too).
     ``max_posting`` truncation picks its physical strategy adaptively on
     the measured longest posting list: a plain per-gram rank below
-    ``salt_threshold`` (measured 1.4-2x cheaper at sandbox scales), a
+    ``salt_threshold`` (measured 1.3-2.1x cheaper at sandbox scales, the
+    advantage narrowing as the hot partition grows), a
     salted two-phase bottom-N above it so a hot gram's cap is computed by
     many tasks, not one (the single-task sort is a straggler/spill cliff
     when a boilerplate gram's posting list reaches billions of rows —
@@ -325,7 +329,7 @@ def prefix_filter_containment_candidates(
         #
         # - plain per-gram row_number below ``salt_threshold``: one window
         #   exchange; the hot partition sorts in a single task, which is
-        #   FINE (and ~1.4-2x cheaper end to end, measured at 5-88M gram
+        #   FINE (and ~1.3-2.1x cheaper end to end, advantage narrowing as the hot partition grows; measured at 5-88M gram
         #   rows — tools/prefix_hotgram_stress.py, BENCH/PREFIXFILTER.md)
         #   as long as that task's row count is bounded;
         # - salted two-phase bottom-N above it (r4 judge: a ubiquitous
@@ -400,7 +404,7 @@ def prefix_filter_containment_candidates(
             ).alias("_bytes"),
         ).filter(F.col("_bytes") <= probe_max_bytes)
         prefix = prefix.join(sizes.select("uid"), "uid", "leftsemi")
-    return (
+    out = (
         prefix.select(
             "g",
             F.col("uid").alias("id_a"),
@@ -419,6 +423,25 @@ def prefix_filter_containment_candidates(
         )
         .distinct()
     )
+    # cache ownership (r5 review): the persisted gram frame would otherwise
+    # accumulate one MEMORY_AND_DISK entry per operator call in a long-lived
+    # session with no release path short of clearCache(). Hand the handle to
+    # the caller on the result itself; release_gram_cache(result) unpersists
+    # after the candidates are materialized.
+    out._hmse_gram_cache = annotated
+    return out
+
+
+def release_gram_cache(candidates: DataFrame) -> bool:
+    """Unpersist the gram frame a prefix_filter_containment_candidates
+    result carries (call AFTER materializing the candidates — the frame is
+    part of their lazy plan). Returns True if a cache was released; safe
+    no-op on any other DataFrame."""
+    cached = getattr(candidates, "_hmse_gram_cache", None)
+    if cached is None:
+        return False
+    cached.unpersist()
+    return True
 
 
 def prefix_filter_posting_report(

@@ -20,13 +20,16 @@ testable with file sources and memory sinks:
   time).
 - ``sessionize_stream``: gap-based sessions per user as a CUSTOM stateful
   operator over ``applyInPandasWithState`` (GroupStateTimeout.
-  EventTimeTimeout): sessions that close *within* the data seen so far
-  (a gap > ``gap_minutes`` between consecutive events) emit immediately;
-  the still-open tail session lives in the group state and emits when
-  the event-time timeout fires — i.e. when the watermark passes
-  last_event + gap. Batch-mode ``sessionize.session_counts`` is the
-  equivalence oracle: on the same finite input, stream sessions ==
-  batch sessions (pinned by test).
+  EventTimeTimeout). A session emits exactly when it is WATERMARK-FINAL
+  (session_end + gap < watermark — no in-watermark straggler can still
+  join, precede, or merge it); until then its raw event times live in
+  the group state, which is what keeps the operator correct under
+  out-of-order arrival (see _session_fn). Emission is driven by the next
+  data for the user or by the event-time timeout at last_event + gap.
+  Batch-mode sessionization is the equivalence oracle: on the same
+  finite input — in ANY arrival order within the watermark — stream
+  sessions == batch sessions (pinned by test, including the
+  straggler-before-session-start case).
 """
 
 from __future__ import annotations
@@ -78,18 +81,44 @@ def windowed_event_counts(
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )
-_SESSION_STATE_SCHEMA = "start long, last long, n long"
+_SESSION_STATE_SCHEMA = "times array<long>"
 
 _US = 1_000_000
+
+
+def _split_sessions(times: list[int], gap_us: int) -> list[tuple[int, int, int]]:
+    """Sorted event times -> [(start, end, n)] split at gaps STRICTLY
+    larger than gap_us (diff == gap merges — the batch sessionizer's
+    `> gap` rule)."""
+    out = []
+    start = prev = times[0]
+    n = 1
+    for t in times[1:]:
+        if t - prev > gap_us:
+            out.append((start, prev, n))
+            start, n = t, 0
+        prev = t
+        n += 1
+    out.append((start, prev, n))
+    return out
 
 
 def _session_fn(gap_us: int):
     """The applyInPandasWithState update function, closed over the gap.
 
-    State = (start_us, last_us, n) of the one still-open session. Event
-    times arrive as pandas timestamps (naive UTC — the session timezone
-    is pinned UTC engine-wide); arithmetic runs in integer microseconds
-    so the state tuple is Spark-serializable primitives only."""
+    State = the SORTED event times (integer microseconds) of every session
+    that is not yet watermark-final. Keeping the raw times — not a
+    (start, last, n) summary — is what makes the operator correct under
+    in-watermark disorder (r5 review): a straggler may arrive BEFORE the
+    open session's span or inside a gap, re-splitting or re-merging
+    sessions, so nothing may be summarized or emitted until the watermark
+    guarantees no straggler can still touch it. A session (start..end) is
+    final exactly when end + gap < watermark: any future event has
+    ts >= watermark > end + gap, which can neither land inside the session
+    nor merge with it (the split rule is strictly-greater-than-gap).
+    State size is bounded by each user's events inside the watermark
+    horizon. On event-time timeout (watermark > last + gap) every
+    remaining session is final: emit all, clear state."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
@@ -97,53 +126,41 @@ def _session_fn(gap_us: int):
         import pandas as _pd
 
         (user_id,) = key
-        if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield _pd.DataFrame(
+
+        def emit(rows):
+            return _pd.DataFrame(
                 {
-                    "user_id": [user_id],
-                    "session_start": [_pd.Timestamp(start, unit="us")],
-                    "session_end": [_pd.Timestamp(last, unit="us")],
-                    "n_events": [n],
+                    "user_id": [user_id] * len(rows),
+                    "session_start": [_pd.Timestamp(s, unit="us") for s, _, _ in rows],
+                    "session_end": [_pd.Timestamp(e, unit="us") for _, e, _ in rows],
+                    "n_events": [n for _, _, n in rows],
                 }
             )
+
+        if state.hasTimedOut:
+            (times,) = state.get
+            state.remove()
+            yield emit(_split_sessions(sorted(times), gap_us))
             return
-        ts = (
+        new = (
             _pd.concat([p["_ts"] for p in pdfs])
             .astype("datetime64[us]")
             .astype("int64")
-            .sort_values()
+            .tolist()
         )
-        if state.exists:
-            start, last, n = state.get
+        times = sorted((list(state.get[0]) if state.exists else []) + new)
+        sessions = _split_sessions(times, gap_us)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        final = [s for s in sessions if s[1] + gap_us < wm_us]
+        keep = [s for s in sessions if s[1] + gap_us >= wm_us]
+        if keep:
+            kept_times = [t for t in times if t >= keep[0][0]]
+            state.update((kept_times,))
+            state.setTimeoutTimestamp((kept_times[-1] + gap_us) // 1000)
         else:
-            start = last = int(ts.iloc[0])
-            n = 0
-            # the first event is counted by the loop below only if it is a
-            # fresh session start; seed so the loop treats it uniformly
-        out_rows = []
-        for t in ts:
-            t = int(t)
-            if n and t - last > gap_us:
-                out_rows.append((start, last, n))
-                start, n = t, 0
-            last = max(last, t)
-            if n == 0:
-                start = min(start, t)
-            n += 1
-        state.update((start, last, n))
-        # event-time timeout: fire when the watermark passes last + gap
-        state.setTimeoutTimestamp((last + gap_us) // 1000)
-        if out_rows:
-            yield _pd.DataFrame(
-                {
-                    "user_id": [user_id] * len(out_rows),
-                    "session_start": [_pd.Timestamp(s, unit="us") for s, _, _ in out_rows],
-                    "session_end": [_pd.Timestamp(e, unit="us") for _, e, _ in out_rows],
-                    "n_events": [c for _, _, c in out_rows],
-                }
-            )
+            state.remove()
+        if final:
+            yield emit(final)
 
     return fn
 
@@ -157,9 +174,10 @@ def sessionize_stream(
 ) -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator
     (``applyInPandasWithState`` + EventTimeTimeout — the API for operators
-    Spark's built-in aggregates can't express). Emits one row per CLOSED
-    session; the open tail session per user waits in state until the
-    watermark passes its last event + gap. Output schema:
+    Spark's built-in aggregates can't express). Emits one row per session,
+    exactly when the session becomes watermark-final; sessions not yet
+    final wait in state as raw event times (correctness under in-watermark
+    disorder — see _session_fn). Output schema:
     (user_id, session_start, session_end, n_events)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 

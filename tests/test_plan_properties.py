@@ -240,3 +240,23 @@ def test_prefix_filter_capped_mode_uses_plain_rank_below_threshold(spark):
     )
     assert "_salt" not in plan, "default threshold must pick the plain rank here"
     assert re.search(r"windowspecdefinition\(g#\d+, uid#", plan), plan
+
+
+def test_prefix_filter_cache_ownership_release(spark):
+    """The operator persists its gram frame and hands ownership to the
+    caller on the result; release_gram_cache unpersists exactly that
+    entry (r5 review: long-lived sessions otherwise accumulate one
+    MEMORY_AND_DISK entry per call with no targeted release path)."""
+    from hmse_spark.operators import verify
+
+    docs = load_table(spark, SF, "documents").selectExpr(
+        "doc_id AS file_id", "text AS content"
+    )
+    out = verify.prefix_filter_containment_candidates(docs, threshold=0.9)
+    out.count()  # materialize (fills the cache)
+    cached = out._hmse_gram_cache
+    assert cached.storageLevel.useMemory
+    assert verify.release_gram_cache(out) is True
+    assert not cached.storageLevel.useMemory  # unpersisted
+    # safe no-op on an unrelated frame
+    assert verify.release_gram_cache(docs) is False

@@ -150,34 +150,72 @@ def test_sessionize_stream_gap_splits_and_event_time_timeout(spark, stream_env):
         .start()
     )
     try:
-        # batch 1: user 1 has a 2-event session then a >30 min gap inside
-        # the SAME batch -> the first session emits immediately
+        # batch 1: user 1 has a 2-event session then a >30 min gap. Nothing
+        # emits: a session is held until it is WATERMARK-final (end + gap
+        # < watermark), because an in-watermark straggler could still
+        # re-split or merge it. Watermark after the batch: 9:30.
         feeder.feed(
             [(1, "c", _t(9, 0)), (1, "c", _t(9, 10)), (1, "c", _t(10, 30))], q
         )
-        rows = spark.table(name).collect()
-        assert len(rows) == 1
-        assert rows[0]["user_id"] == 1 and rows[0]["n_events"] == 2
-        assert rows[0]["session_start"] == _t(9, 0)
-        assert rows[0]["session_end"] == _t(9, 10)
-        # batch 2: next event for user 1 at 13:00 -> closes the 10:30
-        # session by data (gap > 30 min)
+        assert spark.table(name).count() == 0
+        # batch 2: a fresh user-1 event at 13:00. During the batch the
+        # watermark is 9:30, so session [9:00-9:10] (final at > 9:40) is
+        # STILL held; nothing emits yet.
         feeder.feed([(1, "c", _t(13, 0))], q)
-        rows = sorted(spark.table(name).collect(), key=lambda r: r["session_start"])
-        assert [(r["n_events"], r["session_start"]) for r in rows] == [
-            (2, _t(9, 0)),
-            (1, _t(10, 30)),
-        ]
+        assert spark.table(name).count() == 0
         # batch 3: an unrelated user at 18:00 pushes the watermark to
-        # 17:00, past 13:00 + 30 min -> user 1's open tail session emits
-        # via the event-time timeout, with no further user-1 data
+        # 17:00 > 13:30 -> user 1's event-time timeout fires and ALL
+        # three sessions emit at once, correctly split.
         feeder.feed([(2, "c", _t(18, 0))], q)
-        # one more empty-ish advance so the timeout batch flushes
-        feeder.feed([(2, "c", _t(18, 1))], q)
-        rows = sorted(spark.table(name).collect(), key=lambda r: r["session_start"])
-        got = [(r["user_id"], r["n_events"], r["session_start"], r["session_end"]) for r in rows]
-        assert (1, 1, _t(13, 0), _t(13, 0)) in got, got
-        assert len([r for r in rows if r["user_id"] == 1]) == 3
+        feeder.feed([(2, "c", _t(18, 1))], q)  # flush the timeout batch
+        rows = sorted(
+            [r for r in spark.table(name).collect() if r["user_id"] == 1],
+            key=lambda r: r["session_start"],
+        )
+        got = [(r["n_events"], r["session_start"], r["session_end"]) for r in rows]
+        assert got == [
+            (2, _t(9, 0), _t(9, 10)),
+            (1, _t(10, 30), _t(10, 30)),
+            (1, _t(13, 0), _t(13, 0)),
+        ], got
+    finally:
+        q.stop()
+
+
+def test_sessionize_stream_out_of_order_straggler_resplits(spark, stream_env):
+    """The r5 review scenario: an in-watermark straggler that PRECEDES the
+    open session's start must become its own session (gap 50 min > 30),
+    not get merged into the newer one — this is exactly what summarized
+    (start, last, n) state got wrong and raw-times state fixes."""
+    from hmse_spark.streaming.windowed import sessionize_stream
+
+    feeder, stream = stream_env
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+    name = f"sessoo_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", feeder.dir + "_ckpt")
+        .start()
+    )
+    try:
+        feeder.feed([(1, "c", _t(12, 0))], q)  # watermark -> 11:00
+        # straggler at 11:10 >= watermark 11:00: accepted, PRECEDES 12:00
+        feeder.feed([(1, "c", _t(11, 10))], q)
+        # flush: far-future unrelated events push the watermark past
+        # 12:00 + 30 min so both sessions become final
+        feeder.feed([(2, "c", _t(20, 0))], q)
+        feeder.feed([(2, "c", _t(20, 1))], q)
+        rows = sorted(
+            [r for r in spark.table(name).collect() if r["user_id"] == 1],
+            key=lambda r: r["session_start"],
+        )
+        got = [(r["n_events"], r["session_start"], r["session_end"]) for r in rows]
+        assert got == [
+            (1, _t(11, 10), _t(11, 10)),
+            (1, _t(12, 0), _t(12, 0)),
+        ], got
     finally:
         q.stop()
 

@@ -173,6 +173,47 @@ def test_decoder_rejects_corruption_loudly():
         V.decode(src, good[:-1])  # truncated
     with pytest.raises(ValueError, match="secondary"):
         V.decode(src, good[:4] + b"\x01" + good[5:])
+    with pytest.raises(ValueError):
+        V.decode(src, V._MAGIC)  # magic alone (r5 review: was IndexError)
+
+
+def test_decoder_rejects_copy_from_current_position():
+    """A COPY whose address decodes to exactly `here` (VCD_HERE with d=0)
+    must be rejected as corrupt — addresses are drawn from [0, here); the
+    r5 review caught this escaping as IndexError from the overlap loop."""
+    src = b"ABCDEFGH"
+    # COPY size 4 mode 1 (VCD_HERE), address varint 0 -> addr == here
+    delta = _window(len(src), b"", bytes([19 + 16 + 1]), V._varint(0), 4)
+    with pytest.raises(ValueError, match="corrupt VCDIFF address"):
+        V.decode(src, delta)
+
+
+def test_decoder_fuzz_never_escapes_valueerror():
+    """Seeded mutation fuzz: every corrupted delta must either decode (to
+    anything) or raise exactly ValueError — the chunk-store read path's
+    single failure type."""
+    import random
+
+    rng = random.Random(99)
+    src = (b"base block " * 40) + b"tail"
+    good = V.encode(src, src.replace(b"block", b"BLOCK", 3) + b"suffix!")
+    for _ in range(1500):
+        b = bytearray(good)
+        op = rng.randrange(3)
+        if op == 0:  # point mutations
+            for _ in range(rng.randrange(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:  # truncation
+            b = b[: rng.randrange(4, len(b))]
+        else:  # random tail injection
+            b = b[: rng.randrange(4, len(b))] + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(1, 24))
+            )
+        try:
+            V.decode(src, bytes(b))
+        except ValueError:
+            pass
+        # any other exception type propagates and fails the test
 
 
 # --- seam registration ------------------------------------------------------
