@@ -156,7 +156,15 @@ def _session_fn(gap_us: int):
         if keep:
             kept_times = [t for t in times if t >= keep[0][0]]
             state.update((kept_times,))
-            state.setTimeoutTimestamp((kept_times[-1] + gap_us) // 1000)
+            # Spark requires the timeout timestamp to be STRICTLY greater
+            # than the current watermark, and //1000 truncation could land
+            # exactly on it when end + gap is within 1 ms of the watermark
+            # (the keep condition is >=). Round up and clamp past the
+            # watermark — firing 1 ms later is harmless.
+            wm_ms = wm_us // 1000
+            state.setTimeoutTimestamp(
+                max((kept_times[-1] + gap_us) // 1000 + 1, wm_ms + 1)
+            )
         else:
             state.remove()
         if final:
