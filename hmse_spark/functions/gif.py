@@ -28,6 +28,10 @@ import numpy as np
 
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
+# Maximum declared pixel count the decoder will allocate for (64 Mpx);
+# keep in sync with media._MAX_PIXELS / jpeg._MAX_PIXELS.
+_MAX_PIXELS = 1 << 26
+
 
 # --- LZW --------------------------------------------------------------------
 
@@ -218,6 +222,13 @@ def decode_gif(data: bytes) -> np.ndarray:
         pos += 9
         if w == 0 or h == 0:
             raise ValueError(f"degenerate GIF dimensions {w}x{h}")
+        if w * h > _MAX_PIXELS:
+            # DoS guard: the 16-bit descriptor fields can declare up to ~4.3G
+            # pixels from a few dozen bytes; refuse before the LZW expansion
+            # allocates w*h output (see media._MAX_PIXELS rationale).
+            raise ValueError(
+                f"GIF declares {w}x{h} = {w * h} pixels; cap is {_MAX_PIXELS}"
+            )
         ct = gct
         if flags & 0x80:
             n = 2 << (flags & 0x07)

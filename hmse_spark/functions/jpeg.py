@@ -46,6 +46,10 @@ def _zigzag() -> np.ndarray:
 _ZZ = _zigzag()
 _ZZ_FLAT = _ZZ[:, 0] * 8 + _ZZ[:, 1]
 
+# Maximum declared pixel count a decoder will allocate for (64 Mpx). Header
+# dimensions are attacker-controlled 16-bit fields; see decode_jpeg.
+_MAX_PIXELS = 1 << 26
+
 # 8x8 DCT-II basis: C[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
 _DCT = np.array(
     [
@@ -474,6 +478,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF/SOS")
 
     fh, fw, comps = frame
+    if fh * fw > _MAX_PIXELS:
+        # DoS guard (the vcdiff _MAX_WINDOW pattern): a few hundred bytes can
+        # declare 65535x65535 in SOF, which would allocate ~34 GB of float64
+        # block arrays below before a single entropy-coded bit is read. Raise
+        # ValueError *before* allocating so auto mode degrades to
+        # decode_ok=False instead of a MemoryError killing the Arrow task.
+        raise ValueError(
+            f"JPEG declares {fh}x{fw} = {fh * fw} pixels; cap is {_MAX_PIXELS}"
+        )
     by_id = {c["id"]: c for c in comps}
     max_h = max(c["h"] for c in comps)
     max_v = max(c["v"] for c in comps)

@@ -122,6 +122,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 # --------------------------------------------------------------------------
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# Maximum declared pixel count any decoder will allocate for (64 Mpx) — the
+# vcdiff _MAX_WINDOW pattern applied to image headers, whose dimension fields
+# are attacker-controlled. A few hundred crafted bytes can otherwise declare
+# a multi-GB raster and turn a malformed payload into a MemoryError that
+# kills the whole Arrow task instead of the documented decode_ok=False
+# fallback (round-6 advice item).
+_MAX_PIXELS = 1 << 26
 # color type -> raw channels in the scanline
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -244,9 +252,17 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("Adam7-interlaced PNG unsupported")
     if w == 0 or h == 0:
         raise ValueError(f"degenerate PNG dimensions {w}x{h}")
+    if w * h > _MAX_PIXELS:
+        # DoS guard: IHDR dimensions are attacker-controlled 32-bit fields;
+        # reject before any raster-sized allocation (see _MAX_PIXELS).
+        raise ValueError(f"PNG declares {w}x{h} = {w * h} pixels; cap is {_MAX_PIXELS}")
     ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
     stride = w * ch
+    # Bounded inflate: a zip-bomb IDAT must not materialize beyond the raster
+    # size the header promises (+1 byte so oversize is detectable).
+    expected = h * (1 + stride)
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected + 1)
     if len(raw) != h * (1 + stride):
         raise ValueError(
             f"PNG raster is {len(raw)} bytes, expected {h * (1 + stride)}"
@@ -289,6 +305,7 @@ def _decoder(fn):
             OverflowError,
             EOFError,
             RuntimeError,
+            MemoryError,
             _struct.error,
             zlib.error,
             wave.Error,

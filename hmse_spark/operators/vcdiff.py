@@ -298,11 +298,20 @@ def _decode_impl(base: bytes, delta: bytes) -> bytes:
     if hdr & 0x04:  # VCD_APPHEADER (RFC errata / xdelta3 extension)
         app_len, pos = _read_varint(delta, pos)
         pos += app_len
+        if pos > len(delta):
+            # a corrupt length would otherwise skip past the end, exit the
+            # window loop, and silently return b"" — violating the
+            # raise-on-corruption contract
+            raise ValueError("VCD_APPHEADER length exceeds delta")
 
     out_all = bytearray()
     while pos < len(delta):
         win_ind = delta[pos]
         pos += 1
+        if win_ind & ~(_VCD_SOURCE | _VCD_TARGET):
+            # e.g. xdelta3's default VCD_ADLER32 (0x04) checksum extension:
+            # reject explicitly rather than misparse the checksum bytes
+            raise ValueError(f"unsupported VCDIFF window indicator 0x{win_ind:02X}")
         if win_ind & _VCD_SOURCE and win_ind & _VCD_TARGET:
             raise ValueError("window names both VCD_SOURCE and VCD_TARGET")
         src: bytes = b""

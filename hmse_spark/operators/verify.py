@@ -11,6 +11,8 @@ fraction with built-in zip_with/aggregate, entirely JVM-side.
 
 from __future__ import annotations
 
+import weakref
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -242,6 +244,7 @@ def prefix_filter_containment_candidates(
     max_posting: int | None = None,
     probe_max_bytes: int | None = None,
     salt_threshold: int = 5_000_000,
+    known_max_df: int | None = None,
 ) -> DataFrame:
     """Containment candidates via prefix filtering (the SSJoin/PPJoin
     family: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) — the corpus-wide
@@ -301,8 +304,17 @@ def prefix_filter_containment_candidates(
     drop it in long-lived sessions (a targeted unpersist — clearCache()
     would evict unrelated caches too).
     ``max_posting`` truncation picks its physical strategy adaptively on
-    the measured longest posting list: a plain per-gram rank below
-    ``salt_threshold`` (measured 1.3-2.1x cheaper at sandbox scales, the
+    the measured longest posting list. CAVEAT (r6 advice): when
+    ``max_posting`` is set and ``known_max_df`` is None, that measurement is
+    an EAGER Spark job at plan-construction time — it pays the full gram
+    explode + document-frequency aggregation even if the returned DataFrame
+    is never executed (the cost is cached; the persisted gram frame is
+    reused when the plan does run). Callers that already know (or can
+    estimate) the hottest gram's posting-list length pass
+    ``known_max_df`` to skip the probe job entirely — an OVERestimate is
+    always safe (it can only pick the salted strategy early; outputs are
+    checksum-identical either way). The strategy itself: a plain per-gram
+    rank below ``salt_threshold`` (measured 1.3-2.1x cheaper at sandbox scales, the
     advantage narrowing as the hot partition grows), a
     salted two-phase bottom-N above it so a hot gram's cap is computed by
     many tasks, not one (the single-task sort is a straggler/spill cliff
@@ -343,7 +355,13 @@ def prefix_filter_containment_candidates(
         #   the stress tool's checksum assert).
         from pyspark.sql import Window
 
-        max_df = annotated.agg(F.max("_df")).first()[0] or 0
+        if known_max_df is not None:
+            max_df = known_max_df
+        else:
+            # EAGER probe job (documented above): one cheap agg over the
+            # persisted gram frame, skipped when the caller passes
+            # known_max_df
+            max_df = annotated.agg(F.max("_df")).first()[0] or 0
         if max_df <= salt_threshold:
             postings = (
                 annotated.withColumn(
@@ -427,19 +445,57 @@ def prefix_filter_containment_candidates(
     # accumulate one MEMORY_AND_DISK entry per operator call in a long-lived
     # session with no release path short of clearCache(). Hand the handle to
     # the caller on the result itself; release_gram_cache(result) unpersists
-    # after the candidates are materialized.
+    # after the candidates are materialized. A weakref finalizer backs the
+    # explicit release (r6 advice: the in-repo driver query wrapped the
+    # result and lost the handle, re-opening the leak) — when the LAST frame
+    # holding the handle is garbage-collected, the cache entry goes with it.
+    # Derived frames must take over the handle via adopt_gram_cache, which
+    # also cancels this finalizer so an intermediate frame dying at function
+    # exit does not un-cache the plan before it executes.
     out._hmse_gram_cache = annotated
+    out._hmse_gram_finalizer = weakref.finalize(out, _safe_unpersist, annotated)
     return out
+
+
+def _safe_unpersist(df: DataFrame) -> None:
+    try:
+        df.unpersist()
+    except Exception:
+        pass  # session already stopped; nothing left to release
+
+
+def adopt_gram_cache(child: DataFrame, parent: DataFrame) -> DataFrame:
+    """Transfer gram-cache ownership from a prefix_filter result to a frame
+    DERIVED from it (e.g. containment_pairs' verified wrap). Cancels the
+    parent's lifetime finalizer — otherwise the parent dying at function
+    exit would unpersist the gram frame before the child's plan ever runs —
+    and re-registers it on the child, so the cache entry is released when
+    the child is explicitly release_gram_cache'd or garbage-collected,
+    whichever comes first. Returns ``child``; no-op if ``parent`` carries
+    no handle."""
+    cached = getattr(parent, "_hmse_gram_cache", None)
+    if cached is None:
+        return child
+    fin = getattr(parent, "_hmse_gram_finalizer", None)
+    if fin is not None:
+        fin.detach()
+    child._hmse_gram_cache = cached
+    child._hmse_gram_finalizer = weakref.finalize(child, _safe_unpersist, cached)
+    return child
 
 
 def release_gram_cache(candidates: DataFrame) -> bool:
     """Unpersist the gram frame a prefix_filter_containment_candidates
-    result carries (call AFTER materializing the candidates — the frame is
-    part of their lazy plan). Returns True if a cache was released; safe
-    no-op on any other DataFrame."""
+    result (or an adopt_gram_cache'd descendant) carries — call AFTER
+    materializing the candidates; the frame is part of their lazy plan.
+    Returns True if a cache was released; safe no-op on any other
+    DataFrame."""
     cached = getattr(candidates, "_hmse_gram_cache", None)
     if cached is None:
         return False
+    fin = getattr(candidates, "_hmse_gram_finalizer", None)
+    if fin is not None:
+        fin.detach()
     cached.unpersist()
     return True
 

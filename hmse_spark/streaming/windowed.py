@@ -142,12 +142,19 @@ def _session_fn(gap_us: int):
             state.remove()
             yield emit(_split_sessions(sorted(times), gap_us))
             return
+        # drop NaT defensively: a null that reached us would otherwise cast
+        # to int64-min and fabricate a garbage session (the upstream
+        # isNotNull filter is the primary guard; whether Spark's watermark
+        # drops null-ts rows is version-dependent behavior we don't rely on)
         new = (
             _pd.concat([p["_ts"] for p in pdfs])
+            .dropna()
             .astype("datetime64[us]")
             .astype("int64")
             .tolist()
         )
+        if not new and not state.exists:
+            return
         times = sorted((list(state.get[0]) if state.exists else []) + new)
         sessions = _split_sessions(times, gap_us)
         wm_us = state.getCurrentWatermarkMs() * 1000
@@ -195,6 +202,10 @@ def sessionize_stream(
             F.col(user_col).cast("long").alias("user_id"),
             F.col(ts_col).cast("timestamp").alias("_ts"),
         )
+        # a NULL event time has no place on an event-time operator: filter
+        # here rather than rely on version-dependent watermark behavior
+        # (NaT would reach _session_fn and cast to int64-min)
+        .filter(F.col("_ts").isNotNull())
         .withWatermark("_ts", watermark)
     )
     return prepared.groupBy("user_id").applyInPandasWithState(

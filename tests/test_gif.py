@@ -138,6 +138,27 @@ def test_gif_rejects_corruption_and_limits():
         gif.encode_gif(np.zeros((0, 4), dtype=np.uint8))
 
 
+def test_gif_rejects_gigapixel_descriptor_before_allocating():
+    # r6 advice: the 16-bit descriptor fields can declare ~4.3 Gpx from a
+    # few dozen bytes; the cap must fire before the LZW expansion allocates
+    # w*h output. Patch a valid 4x4 gray GIF's image-descriptor dims (pixel
+    # grayscale encodes a full 256-ramp GCT — 768 bytes after the 13-byte
+    # header — so the image descriptor sits at a fixed offset).
+    img = np.zeros((4, 4), dtype=np.uint8)
+    img[0, 0] = 255
+    good = gif.encode_gif(img)
+    desc_at = 13 + 768
+    assert good[desc_at] == 0x2C
+    patched = (
+        good[: desc_at + 5]
+        + (65535).to_bytes(2, "little")
+        + (65535).to_bytes(2, "little")
+        + good[desc_at + 9 :]
+    )
+    with pytest.raises(ValueError, match="cap"):
+        gif.decode_gif(patched)
+
+
 # --- multimodal wiring ------------------------------------------------------
 
 

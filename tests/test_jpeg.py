@@ -180,6 +180,30 @@ def test_jpeg_rejects_unsupported_profiles_and_corruption():
         jpeg.encode_jpeg(np.zeros((0, 4, 3), dtype=np.uint8))
 
 
+def test_jpeg_rejects_gigapixel_sof_before_allocating():
+    # r6 advice: a few-hundred-byte payload declaring 65535x65535 in SOF
+    # would allocate ~34 GB of float64 block arrays before reading one
+    # entropy-coded bit; the cap must raise ValueError first (in auto mode
+    # that degrades to decode_ok=False instead of a MemoryError killing the
+    # whole Arrow task). This test would OOM if the guard regressed.
+    good = jpeg.encode_jpeg(_gradient(16, 16), quality=85)
+    sof_at = good.index(b"\xff\xc0")
+    # SOF0 payload: len(2) precision(1) height(2) width(2) ...
+    patched = (
+        good[: sof_at + 5]
+        + (65535).to_bytes(2, "big")
+        + (65535).to_bytes(2, "big")
+        + good[sof_at + 9 :]
+    )
+    with pytest.raises(ValueError, match="cap"):
+        jpeg.decode_jpeg(patched)
+    # and through the normalized multimodal entry point too
+    from hmse_spark.functions import media
+
+    with pytest.raises(ValueError, match="cap"):
+        media.decode_jpeg(patched)
+
+
 # --- multimodal wiring ------------------------------------------------------
 
 

@@ -260,3 +260,61 @@ def test_prefix_filter_cache_ownership_release(spark):
     assert not cached.storageLevel.useMemory  # unpersisted
     # safe no-op on an unrelated frame
     assert verify.release_gram_cache(docs) is False
+
+
+def test_prefix_filter_cache_adoption_and_gc_backstop(spark):
+    """r6 advice closure: (a) adopt_gram_cache transfers the handle to a
+    derived frame and the PARENT dying no longer unpersists the cache out
+    from under the child's lazy plan; (b) when the LAST holder is
+    garbage-collected the weakref backstop releases the entry, so even a
+    caller that loses the handle (the r5 driver-query leak) cannot
+    accumulate cache entries in a long-lived session."""
+    import gc
+
+    from hmse_spark.operators import verify
+
+    docs = load_table(spark, SF, "documents").selectExpr(
+        "doc_id AS file_id", "text AS content"
+    )
+    out = verify.prefix_filter_containment_candidates(docs, threshold=0.9)
+    child = verify.adopt_gram_cache(out.filter("id_a IS NOT NULL"), out)
+    cached = child._hmse_gram_cache
+    del out
+    gc.collect()
+    child.count()  # materialize AFTER parent death: cache must still fill
+    assert cached.storageLevel.useMemory, "parent gc must not strip the child's cache"
+    del child
+    gc.collect()
+    assert not cached.storageLevel.useMemory, "gc backstop must unpersist"
+    # explicit release after adoption still works and is idempotent with gc
+    out2 = verify.prefix_filter_containment_candidates(docs, threshold=0.9)
+    child2 = verify.adopt_gram_cache(out2.filter("id_a IS NOT NULL"), out2)
+    assert verify.release_gram_cache(child2) is True
+
+
+def test_prefix_filter_known_max_df_skips_probe_job(spark):
+    """With known_max_df supplied, capped mode must not run the eager
+    max(_df) probe job at plan-construction time (r6 advice: the probe pays
+    the whole gram explode even if the plan never executes), and the value
+    must drive the same plain-vs-salted strategy choice."""
+    import re
+
+    from hmse_spark.operators import verify
+
+    docs = load_table(spark, SF, "documents").selectExpr(
+        "doc_id AS file_id", "text AS content"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    low = verify.prefix_filter_containment_candidates(
+        docs, threshold=0.9, max_posting=5, known_max_df=10
+    )
+    high = verify.prefix_filter_containment_candidates(
+        docs, threshold=0.9, max_posting=5, known_max_df=10_000_000
+    )
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction must not launch a probe job"
+    assert "_salt" not in _physical(low)
+    assert re.search(r"windowspecdefinition\(g#\d+, _salt#", _physical(high))
+    verify.release_gram_cache(low)
+    verify.release_gram_cache(high)

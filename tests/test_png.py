@@ -156,6 +156,37 @@ def test_png_rejects_corruption_and_unsupported():
         media.encode_png(np.zeros((0, 4, 3), dtype=np.uint8))
 
 
+def test_png_rejects_gigapixel_header_before_allocating():
+    # r6 advice: a ~100-byte payload can declare a multi-GB raster; the cap
+    # must fire BEFORE any raster-sized allocation (this test would OOM or
+    # hang if it did not)
+    hdr = struct.pack(">IIBBBBB", 2**16, 2**16, 8, 2, 0, 0, 0)  # 4.3 Gpx RGB
+    data = (
+        media._PNG_MAGIC
+        + media._png_chunk(b"IHDR", hdr)
+        + media._png_chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + media._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="cap"):
+        media.decode_png(data)
+
+
+def test_png_zip_bomb_idat_is_bounded_not_materialized():
+    # a 4x4 header with an IDAT that inflates to 64 MB: the bounded
+    # decompressobj must stop at expected+1 bytes and fail the raster-size
+    # check rather than materialize the bomb
+    hdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)
+    data = (
+        media._PNG_MAGIC
+        + media._png_chunk(b"IHDR", hdr)
+        + media._png_chunk(b"IDAT", bomb)
+        + media._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="raster"):
+        media.decode_png(data)
+
+
 # --- multimodal wiring ------------------------------------------------------
 
 

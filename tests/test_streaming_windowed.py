@@ -220,6 +220,34 @@ def test_sessionize_stream_out_of_order_straggler_resplits(spark, stream_env):
         q.stop()
 
 
+def test_sessionize_stream_drops_null_event_times(spark, stream_env):
+    """r6 advice: a NULL ts reaching the state function would cast NaT ->
+    int64-min and fabricate a session spanning from the epoch's far past.
+    The prepared projection filters nulls (and the pandas path drops NaT
+    defensively); null-ts rows must simply vanish."""
+    from hmse_spark.streaming.windowed import sessionize_stream
+
+    feeder, stream = stream_env
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+    name = f"sessnull_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", feeder.dir + "_ckpt")
+        .start()
+    )
+    try:
+        feeder.feed([(1, "c", _t(9, 0)), (1, "c", None), (1, "c", _t(9, 10))], q)
+        feeder.feed([(2, "c", _t(20, 0))], q)  # watermark past 9:40
+        feeder.feed([(2, "c", _t(20, 1))], q)  # flush the timeout batch
+        rows = [r for r in spark.table(name).collect() if r["user_id"] == 1]
+        got = [(r["n_events"], r["session_start"], r["session_end"]) for r in rows]
+        assert got == [(2, _t(9, 0), _t(9, 10))], got
+    finally:
+        q.stop()
+
+
 def test_sessionize_stream_matches_batch_sessionizer(spark, stream_env):
     """On a finite input fully flushed by a far-future watermark push, the
     stream's sessions (per user: count + bounds) must equal the batch

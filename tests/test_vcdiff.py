@@ -177,6 +177,30 @@ def test_decoder_rejects_corruption_loudly():
         V.decode(src, V._MAGIC)  # magic alone (r5 review: was IndexError)
 
 
+def test_decoder_rejects_apphdr_overrun_and_unknown_window_bits():
+    """r6 advice: (a) a corrupt VCD_APPHEADER length that skips past the end
+    of the delta must raise, not silently return b'' (the window loop would
+    just never run); (b) unknown window-indicator bits — e.g. xdelta3's
+    default VCD_ADLER32 (0x04) — must be rejected explicitly, not misparsed
+    by accident."""
+    src = b"ABCDEFGH"
+    good = V.encode(src, b"ABCDEFGHIJ")
+    # set VCD_APPHEADER in the header indicator, then append a varint length
+    # far past the end of the delta
+    bad = good[:4] + b"\x04" + V._varint(10_000) + good[5:]
+    with pytest.raises(ValueError, match="APPHEADER"):
+        V.decode(src, bad)
+    # a well-formed app header (length 3) is still skipped and decodes fine
+    ok = good[:4] + b"\x04" + V._varint(3) + b"xyz" + good[5:]
+    assert V.decode(src, ok) == b"ABCDEFGHIJ"
+    # first window's indicator byte is right after the 5-byte header; OR in
+    # the VCD_ADLER32 bit
+    bad2 = bytearray(good)
+    bad2[5] |= 0x04
+    with pytest.raises(ValueError, match="window indicator"):
+        V.decode(src, bytes(bad2))
+
+
 def test_decoder_rejects_copy_from_current_position():
     """A COPY whose address decodes to exactly `here` (VCD_HERE with d=0)
     must be rejected as corrupt — addresses are drawn from [0, here); the
