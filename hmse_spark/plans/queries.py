@@ -1940,7 +1940,13 @@ def q_containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = verify.prefix_filter_containment_candidates(
         docs, threshold=0.9, max_posting=None
     )
-    return verify.containment_pairs(cands, docs, threshold=0.9)
+    # the verified wrap takes over gram-cache ownership (r6 advice: the
+    # bare wrap dropped the handle, leaking one MEMORY_AND_DISK entry per
+    # driver run) — the cache is released when this frame is explicitly
+    # release_gram_cache'd or garbage-collected after the driver collects it
+    return verify.adopt_gram_cache(
+        verify.containment_pairs(cands, docs, threshold=0.9), cands
+    )
 
 
 @register("training_data_curation", None)
@@ -2200,6 +2206,43 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptrs.select(F.col("file_id").alias("doc_id"), "file_sha", "base_id")
 
 
+@register(
+    "windowed_event_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+           strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M')
+             AS window_end,
+           event_type AS action,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r5 event-time STREAMING operator (streaming/windowed.py::
+    windowed_event_counts — watermark -> F.window -> stateful count) run in
+    batch mode over the events table, where its tumbling-window arithmetic
+    is SQL-expressible: Spark's 1-hour epoch-aligned window() must equal
+    DuckDB's date_trunc('hour') bucketing exactly. The driver-side hash
+    certificate for the operator the windowed streaming tests pin
+    micro-batch-by-micro-batch (r5 verdict Next #2); the watermark is a
+    no-op in batch, so the aggregation semantics are identical to the
+    streaming append-mode totals after final flush (pinned by
+    tests/test_streaming_windowed.py's stream==batch equivalence)."""
+    from hmse_spark.streaming.windowed import windowed_event_counts
+
+    events = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(
+        events, window="1 hour", watermark="30 minutes",
+        ts_col="ts", action_col="event_type",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm").alias("window_end"),
+        "action",
+        "n_events",
+    )
+
+
 def _murmur3_minhash_oracle_sql() -> str:
     """DuckDB re-implementation of the frozen L4 MinHash core: per distinct
     4-byte shingle and seed 1..128, the full MurmurHash3_x86_32 chain
@@ -2385,6 +2428,26 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grouped by operator family; ordering is centralized here instead.
 # --------------------------------------------------------------------------
 
+# Oracled entries deliberately placed AFTER the driver's 50-entry window —
+# the oracled set outgrew 50 in round 6 (windowed_event_counts, image and
+# non-ASCII certificates joined it). Each entry here remains fully oracled
+# for the verify skill and tests/test_oracle_parity.py; demotion is a
+# conscious trade that keeps every operator family with >= 1 in-window
+# certificate while the NEW, otherwise-uncertified operators take the
+# driver slots:
+_ORACLED_DEMOTED = [
+    # the two kernel audits (r5): pytest-level cross-engine certificates by
+    # design — test_oracle_parity runs their DuckDB SQL every suite run
+    "minhash_murmur3_audit",
+    "simhash_fmix64_audit",
+    "part_price_buckets",  # 1-row agg; §2.4 held in-window by
+    # lineitem_pricing_summary + orders_rollup + events_hourly_rollup
+    "events_daily_activity",  # same family/operator as events_hourly_rollup
+    # (the cascading-rollup entry is the stronger certificate and stays)
+    "doc_embedding_profile",  # §2.3 join family held in-window by
+    # orders_by_nation, parts_never_ordered, asof_*, click_purchase_within_hour
+]
+
 _ROWS_ONLY_PRIORITY = [
     # pipeline/storage metrics surfaces first: they exercise the full
     # chunk->signature->cluster->store path end to end
@@ -2424,7 +2487,19 @@ def _reorder_registry() -> None:
         # a new rows-only query MUST take an explicit priority slot; silently
         # appending could push a weaker-but-important report out of the window
         raise ValueError(f"rows-only queries missing a priority slot: {missing}")
-    ordered = dict(oracled)
+    in_window = {k: v for k, v in oracled.items() if k not in _ORACLED_DEMOTED}
+    if len(in_window) > 50:
+        # growing past the window silently would strip the LAST-registered
+        # oracled queries of their driver certificate with no test failing;
+        # each overflow must take an explicit _ORACLED_DEMOTED slot instead
+        raise ValueError(
+            f"{len(in_window)} oracled queries for a 50-entry driver window; "
+            "demote explicitly via _ORACLED_DEMOTED"
+        )
+    ordered = dict(in_window)
+    for name in _ORACLED_DEMOTED:
+        if name in oracled:
+            ordered[name] = oracled[name]
     for name in _ROWS_ONLY_PRIORITY:
         if name in rows_only:
             ordered[name] = rows_only[name]

@@ -1,0 +1,105 @@
+"""Perceptual-hash image near-dup (operators/phash.py): dHash invariants
+(container-independence over lossless codecs, small-edit locality, tiny
+images), the banded near-dup operator end to end with planted copies and
+an undecodable payload, and the fingerprint-cache lifetime backstop."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hmse_spark.functions import media
+from hmse_spark.operators import phash
+
+
+def _img(seed: int, h: int = 40, w: int = 56) -> np.ndarray:
+    return np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_dhash_is_container_independent_for_lossless_codecs():
+    img = _img(1)
+    h = phash.dhash64(img)
+    assert phash.dhash64(media.decode_png(media.encode_png(img))) == h
+    assert phash.dhash64(media.decode_netpbm(media.encode_ppm(img))) == h
+    gray = _img(2)[:, :, 0]
+    hg = phash.dhash64(gray)
+    assert phash.dhash64(media.decode_netpbm(media.encode_ppm(gray))) == hg
+
+
+def test_dhash_locality_small_noise_small_hamming():
+    img = _img(3)
+    h1 = phash.dhash64(img)
+    rng = np.random.default_rng(4)
+    noisy = np.clip(
+        img.astype(int) + rng.integers(-6, 7, size=img.shape), 0, 255
+    ).astype(np.uint8)
+    d = bin((h1 ^ phash.dhash64(noisy)) & ((1 << 64) - 1)).count("1")
+    assert d <= 7, d
+    # unrelated images: far apart (sanity, not a guarantee)
+    d2 = bin((h1 ^ phash.dhash64(_img(99))) & ((1 << 64) - 1)).count("1")
+    assert d2 > 7, d2
+
+
+def test_dhash_defined_for_tiny_and_flat_images():
+    assert phash.dhash64(np.zeros((1, 1), dtype=np.uint8)) == 0
+    assert phash.dhash64(np.zeros((3, 4, 3), dtype=np.uint8)) == 0
+    assert isinstance(phash.dhash64(_img(5, h=2, w=3)), int)
+
+
+def test_area_resize_matches_manual_means():
+    g = np.arange(16, dtype=np.float64).reshape(4, 4)
+    r = phash.area_resize(g, 2, 2)
+    assert np.allclose(r, [[2.5, 4.5], [10.5, 12.5]])
+
+
+def test_band_pigeonhole_guarantees_candidacy_within_distance_7():
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        h1 = int(rng.integers(0, 1 << 63))
+        flips = rng.choice(64, size=int(rng.integers(0, 8)), replace=False)
+        h2 = h1
+        for f in flips:
+            h2 ^= 1 << int(f)
+        bands1 = [(h1 >> (8 * b)) & 0xFF for b in range(8)]
+        bands2 = [(h2 >> (8 * b)) & 0xFF for b in range(8)]
+        assert any(a == b for a, b in zip(bands1, bands2))
+
+
+def test_image_near_dup_pairs_end_to_end(spark):
+    rows = []
+    for i in range(30):
+        img = _img(100 + i)
+        rows.append((i, bytearray(media.encode_png(img))))
+        if i % 5 == 0:  # planted copy, DIFFERENT lossless container
+            rows.append((100000 + i, bytearray(media.encode_ppm(img))))
+    rows.append((999, bytearray(b"not an image at all")))
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+
+    hashed = phash.add_dhash(df)
+    got = {r["asset_id"]: (r["dhash"], r["decode_ok"]) for r in hashed.collect()}
+    assert got[999] == (None, False)
+    assert got[0][0] == got[100000][0] and got[0][1]
+
+    pairs = phash.image_near_dup_pairs(df)
+    found = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])): r["hamming"]
+        for r in pairs.collect()
+    }
+    for i in range(0, 30, 5):
+        assert found.get((i, 100000 + i)) == 0, (i, found)
+    # no false positives among unrelated random images at <= 7 bits
+    assert all(b - a == 100000 for a, b in found), found
+
+
+def test_image_near_dup_cache_released_on_gc(spark):
+    import gc
+
+    rows = [(i, bytearray(media.encode_png(_img(200 + i)))) for i in range(6)]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = phash.image_near_dup_pairs(df)
+    out.count()
+    cached = out._hmse_dhash_cache
+    assert cached.storageLevel.useMemory
+    del out
+    gc.collect()
+    assert not cached.storageLevel.useMemory

@@ -7,15 +7,11 @@ from hmse_spark.plans import queries as q
 DRIVER_WINDOW = 50
 
 
-# oracled queries that deliberately sit OUTSIDE the driver window: the
-# window is already 50/50 oracled, so these kernel audits trade the driver
-# gate for a pytest-level cross-engine certificate (test_oracle_parity runs
-# every registered oracle). Adding a name here is a conscious decision that
-# the query will NOT get a driver-side check.
-PYTEST_LEVEL_AUDITS = {"minhash_murmur3_audit", "simhash_fmix64_audit"}
-
-
 def test_driver_window_is_fully_oracled_and_overflow_is_explicit():
+    """Oracled queries outside the window must be an EXPLICIT demotion
+    (q._ORACLED_DEMOTED — kernel audits by design, plus the r6 overflow
+    trades); test_oracle_parity still runs every registered oracle, so a
+    demoted query keeps its pytest-level cross-engine certificate."""
     names = list(q.queries())
     oracled = set(q.oracle_sql())
     window = names[:DRIVER_WINDOW]
@@ -25,9 +21,15 @@ def test_driver_window_is_fully_oracled_and_overflow_is_explicit():
         f"while oracled ones overflow: {not_oracled}"
     )
     outside = oracled - set(window)
-    assert outside <= PYTEST_LEVEL_AUDITS, (
+    # <= not ==: when the window has slack, demoted entries re-enter it in
+    # list order (more driver signal, never less)
+    assert outside <= set(q._ORACLED_DEMOTED), (
         f"oracled queries pushed outside the driver window without an "
-        f"explicit audit designation: {sorted(outside - PYTEST_LEVEL_AUDITS)}"
+        f"explicit demotion slot: {sorted(outside - set(q._ORACLED_DEMOTED))}"
+    )
+    # demoted entries still registered, immediately after the window
+    assert names[len(oracled) - len(q._ORACLED_DEMOTED):len(oracled)] == list(
+        q._ORACLED_DEMOTED
     )
 
 

@@ -1,0 +1,118 @@
+"""Adversarial recall wall for the exact-substring detectors (r5 verdict
+item #8): corpora whose dup pairs share ONLY one short exact region inside
+otherwise-unique documents — the profile BENCH/RECALL.md names as the
+anchor path's blind spot. Whole-doc Jaccard is ~L/|doc| (MinHash/SimHash
+blind by construction), so everything rests on the substring paths:
+
+- anchor fingerprints (suffix.anchor_candidate_pairs): need a 64-byte CDC
+  window fully inside the shared region AND an anchor (density 2^-8/byte)
+  selected in it on both sides -> P(candidate) ~ 1 - exp(-(L-64)/256);
+- sharded exact SA (suffix.suffix_array_pairs, bottom-R anchor sketch):
+  the region must contribute a bottom-R anchor to BOTH docs to co-locate
+  them — strictly harder than the anchor path for short regions;
+- exact one-group SA (num_groups=1, shard_by="id"): exhaustive suffix
+  sort, finds every repeat >= substr_min_len=50 — the bounded-input mode
+  whose necessity this tool pins.
+
+CANDIDATE recall is the right metric here: in the pipeline all candidates
+are exact-Jaccard verified at cfg.jaccard_threshold, so a 100-byte shared
+region in a 3 KB doc is (correctly) never a near-dup EDGE — surfacing the
+pair for a containment/repeat audit is the detectors' whole job on this
+profile.
+
+Usage: python tools/adversarial_recall.py [--pairs 150] [--fillers 300]
+       [--doc-bytes 3000] [--lengths 50,64,96,128,192,256,384,512]
+Prints one JSON line per region length.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import string
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _rand_text(rng, n: int) -> str:
+    letters = string.ascii_lowercase + "    "
+    return "".join(rng.choice(list(letters), size=n))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=150)
+    ap.add_argument("--fillers", type=int, default=300)
+    ap.add_argument("--doc-bytes", type=int, default=3000)
+    ap.add_argument("--lengths", default="50,64,96,128,192,256,384,512")
+    ap.add_argument("--seed", type=int, default=47)
+    ap.add_argument("--cpus", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from hmse_spark.config import DEFAULT
+    from hmse_spark.operators import suffix
+    from hmse_spark.session import build_session
+
+    spark = build_session("adversarial_recall", master=f"local[{args.cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rng = np.random.default_rng(args.seed)
+    lengths = [int(x) for x in args.lengths.split(",")]
+    cfg1 = dataclasses.replace(DEFAULT, substr_min_anchors=1)
+
+    for L in lengths:
+        rows = []
+        truth = []
+        fid = 0
+        for _ in range(args.pairs):
+            region = _rand_text(rng, L)
+            for _ in range(2):
+                flank = args.doc_bytes - L
+                cut = int(rng.integers(64, flank - 64))
+                rows.append(
+                    (fid, _rand_text(rng, cut) + region + _rand_text(rng, flank - cut))
+                )
+                fid += 1
+            truth.append((fid - 2, fid - 1))
+        for _ in range(args.fillers):
+            rows.append((fid, _rand_text(rng, args.doc_bytes)))
+            fid += 1
+        df = spark.createDataFrame(rows, "file_id long, content string").persist()
+        df.count()
+        truth_set = set(truth)
+
+        def recall(pairs_df) -> float:
+            got = {
+                (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+                for r in pairs_df.select("id_a", "id_b").collect()
+            }
+            return round(len(got & truth_set) / len(truth_set), 4)
+
+        r_anchor = recall(suffix.anchor_candidate_pairs(df, cfg=cfg1))
+        r_sa_sharded = recall(suffix.suffix_array_pairs(df, cfg=DEFAULT))
+        r_sa_exact = recall(
+            suffix.suffix_array_pairs(df, cfg=DEFAULT, num_groups=1, shard_by="id")
+        )
+        json.dump(
+            {
+                "region_bytes": L,
+                "n_pairs": args.pairs,
+                "doc_bytes": args.doc_bytes,
+                "recall_anchor_path": r_anchor,
+                "recall_sa_sharded": r_sa_sharded,
+                "recall_sa_exact_one_group": r_sa_exact,
+            },
+            sys.stdout,
+        )
+        print(flush=True)
+        df.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

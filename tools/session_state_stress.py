@@ -1,0 +1,162 @@
+"""State-size stress for the streaming sessionizer (r5 verdict item #3):
+one HYPERACTIVE key holds every raw event time of its non-final sessions in
+group state (the design that keeps sessionize_stream correct under
+in-watermark disorder — summarized state was shown wrong in r5), so state
+per key is proportional to the events inside the watermark horizon. This
+tool measures that bound instead of asserting it: 10^6 events for ONE user
+inside a single session horizon, fed through a real file-source stream in
+K micro-batches, recording per-batch wall and the state store's own
+numRowsTotal / memoryUsedBytes from StreamingQueryProgress.
+
+Worst-case shape on purpose: all events within the gap of each other and
+inside the watermark horizon -> ONE open session that is never
+watermark-final until the flush event, so the state row carries the full
+raw-times array the whole run. Each arriving batch re-sorts the union
+(O(S log S) in held events S) — the measured per-batch wall curve makes
+that cost visible too.
+
+Usage: python tools/session_state_stress.py [--events 1000000]
+       [--batches 10] [--cpus 8]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=1_000_000)
+    ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--gap-minutes", type=int, default=30)
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hmse_spark.session import build_session
+    from hmse_spark.streaming.windowed import sessionize_stream
+
+    spark = build_session("session_state_stress", master=f"local[{args.cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="hmse_sess_stress_")
+    src, ckpt = f"{root}/in", f"{root}/ckpt"
+    os.makedirs(src)
+
+    n, k = args.events, args.batches
+    per = n // k
+    # ~3.6 ms spacing puts all n events in one hour: inside one gap AND one
+    # watermark horizon -> the single session stays in state the whole run
+    base_us = 1_750_000_000_000_000  # an arbitrary fixed epoch (no Date.now)
+    spacing_us = (3600 * 1_000_000) // n
+
+    stream = (
+        spark.readStream.schema("user_id long, action string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = sessionize_stream(
+        stream, gap_minutes=args.gap_minutes, watermark="1 hour"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_stress")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def feed(pdf: pd.DataFrame, i: int) -> float:
+        # micros, not pandas' nanos default — Spark's vectorized parquet
+        # reader rejects the nanosecond logical type for a timestamp column
+        pq.write_table(
+            pa.Table.from_pandas(pdf),
+            f"{src}/batch_{i:04d}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        t0 = time.time()
+        q.processAllAvailable()
+        return round(time.time() - t0, 2)
+
+    batch_walls = []
+    t_all = time.time()
+    for i in range(k):
+        ts = base_us + (np.arange(per, dtype=np.int64) + i * per) * spacing_us
+        pdf = pd.DataFrame(
+            {
+                "user_id": np.zeros(per, dtype=np.int64),
+                "action": ["e"] * per,
+                "ts": pd.to_datetime(ts, unit="us"),
+            }
+        )
+        batch_walls.append(feed(pdf, i))
+
+    prog = q.lastProgress
+    state = (prog.get("stateOperators") or [{}])[0]
+    held = {
+        "state_rows": state.get("numRowsTotal"),
+        "state_memory_bytes": state.get("memoryUsedBytes"),
+        "custom": {
+            key: state.get("customMetrics", {}).get(key)
+            for key in ("loadedMapCacheHitCount", "stateOnCurrentVersionSizeBytes")
+        },
+    }
+
+    # flush: one far-future event finalizes the mega-session via timeout
+    flush_ts = base_us + 3 * 3600 * 1_000_000
+    flush = pd.DataFrame(
+        {
+            "user_id": [1],
+            "action": ["e"],
+            "ts": pd.to_datetime([flush_ts], unit="us"),
+        }
+    )
+    feed(flush, k)
+    feed(
+        pd.DataFrame(
+            {
+                "user_id": [1],
+                "action": ["e"],
+                "ts": pd.to_datetime([flush_ts + 1_000_000], unit="us"),
+            }
+        ),
+        k + 1,
+    )
+    total_wall = round(time.time() - t_all, 1)
+
+    rows = spark.sql("SELECT * FROM sess_stress WHERE user_id = 0").collect()
+    emitted = [(r["n_events"],) for r in rows]
+    q.stop()
+    json.dump(
+        {
+            "events": n,
+            "batches": k,
+            "batch_walls_sec": batch_walls,
+            "held_state_at_peak": held,
+            "total_wall_sec": total_wall,
+            "sessions_emitted_for_hot_user": emitted,
+            "all_events_in_one_session": emitted == [(n,)],
+        },
+        sys.stdout,
+    )
+    print()
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
