@@ -103,6 +103,13 @@ class PipelineConfig:
                                   # salting: bounded salt-group self-joins
                                   # linked through the bucket min, ~m*cap/2
                                   # pairs, preserves direct-pair evidence)
+    bucket_size_strategy: str = "auto"  # annotate_bucket_sizes physical plan:
+                                  # "window" | "groupby" | "auto" (r6 — auto
+                                  # probes max bucket via a map-side-combined
+                                  # count over the persisted sig frame and
+                                  # flips to the broadcast-stratified
+                                  # join-back above window_threshold;
+                                  # BENCH/SKEW.md)
     # Engine
     shuffle_partitions: int = 32
     corpus_seed: int = 42

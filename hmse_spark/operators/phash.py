@@ -87,6 +87,37 @@ def _decode_any(payload: bytes) -> np.ndarray | None:
     return None
 
 
+def synthesize_image_corpus(
+    ids: DataFrame, id_col: str = "doc_id", plant_mod: int = 5
+) -> DataFrame:
+    """(asset_id, payload): one deterministic PNG per input id (pixels from
+    a per-id seeded rng, EXECUTOR-side — the corpus scales with the table,
+    nothing is generated on the driver), plus for ids % plant_mod == 0 a
+    pixel-identical PPM re-encode keyed id+100000. Same pixels through a
+    different lossless container give the same dHash in every band, so the
+    planted near-dups are DETERMINISTICALLY detectable — the property the
+    oracled image_near_dups query certifies (ann_recall_report pattern)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids: list[int] = []
+            payloads: list[bytes] = []
+            for base in pdf[id_col]:
+                base = int(base)
+                rng = np.random.default_rng(base)
+                h = int(rng.integers(24, 64))
+                w = int(rng.integers(24, 64))
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                out_ids.append(base)
+                payloads.append(media.encode_png(img))
+                if base % plant_mod == 0:
+                    out_ids.append(base + 100000)
+                    payloads.append(media.encode_ppm(img))
+            yield pd.DataFrame({"asset_id": out_ids, "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(run, "asset_id long, payload binary")
+
+
 def add_dhash(assets: DataFrame, payload_col: str = "payload") -> DataFrame:
     """assets + (dhash long nullable, decode_ok boolean): Arrow-batched
     decode + fingerprint; non-image / undecodable payloads get NULL + False

@@ -121,13 +121,14 @@ def run_near_dup_pipeline(
     pair_sets: list[DataFrame] = []
     minhash_annotated = None
     if "minhash" in variants:
-        # strategy="auto": the probe job re-reads the PERSISTED signature
-        # stage (cheap), and a degenerate corpus whose largest band bucket
-        # would overwhelm one WindowExec task flips the plan to the
-        # map-side-combined groupBy + skew-splittable join-back
-        # (BENCH/SKEW.md mega-bucket stress)
+        # cfg.bucket_size_strategy (default "auto"): the probe job re-reads
+        # the PERSISTED signature stage (cheap), and a degenerate corpus
+        # whose largest band bucket would overwhelm one WindowExec task
+        # flips the plan to the map-side-combined groupBy +
+        # broadcast-stratified join-back (BENCH/SKEW.md mega-bucket stress)
         minhash_annotated = lsh.annotate_bucket_sizes(
-            lsh.explode_bands(signatures, id_col), strategy="auto"
+            lsh.explode_bands(signatures, id_col),
+            strategy=cfg.bucket_size_strategy,
         )
         pair_sets.append(
             stage(

@@ -930,21 +930,21 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_bpeish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish pre-tokenizer token cost per doc. The oracle drops the
-    UDF's ``\\s+`` alternative instead of filtering whitespace matches —
-    equivalent for ASCII whitespace, because no other alternative can match
-    it, so the scanner skips the same spans either way. NULL text counts 0
-    (COALESCE, the repetition_metrics convention — pinned by
-    test_multibyte after the raw column was caught diverging 0 vs NULL).
-    Known divergence outside ASCII: Python's ``\\s`` is Unicode while RE2's
-    is ASCII-only, so exotic whitespace (NBSP, ideographic space) counts as
-    a token in the oracle but not in the UDF — pinned as a behavior-table
-    row in test_multibyte / docs/MULTIBYTE.md; testdata contains none."""
+    """BPE-ish pre-tokenizer token cost per doc, as a pure COLUMN
+    EXPRESSION (whole-stage codegen; r6 — the Arrow UDF formulation it
+    replaced stays as the pytest parity reference). Column and oracle share
+    the whitespace-free pattern: dropping ``\\s+`` is equivalent to
+    filtering whitespace matches because no other alternative can match a
+    whitespace character. NULL text counts 0 (COALESCE, the
+    repetition_metrics convention). Java regex and RE2 both use ASCII
+    ``\\s``, so the column is oracle-identical on exotic Unicode whitespace
+    too — the divergence docs/MULTIBYTE.md used to pin now lives only in
+    the off-path UDF."""
     from hmse_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", T.bpeish_token_count_udf()(F.col("text")).alias("n_bpeish_tokens")
+        "doc_id", T.bpeish_token_count_col("text").alias("n_bpeish_tokens")
     )
 
 
@@ -2240,6 +2240,109 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("window_end", "yyyy-MM-dd HH:mm").alias("window_end"),
         "action",
         "n_events",
+    )
+
+
+@register(
+    "image_near_dups",
+    """
+    SELECT CAST(doc_id + 100000 AS BIGINT) AS asset_id,
+           CAST(doc_id AS BIGINT) AS base_id,
+           CAST(1 AS INT) AS hit
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dup (operators/phash.py — dHash + Hamming
+    banding over the simhash/lsh machinery), certified the
+    ann_recall_report way: every 5th doc_id gets a pixel-identical planted
+    copy in a DIFFERENT lossless container (PNG base, PPM copy, id
+    +100000), synthesized deterministically executor-side from the
+    documents table's ids. Identical pixels -> identical dHash -> every
+    band collides -> candidacy is structural, and verification is Hamming
+    0, so each planted copy MUST report hit=1; the Spark side EARNS the
+    rows through the full decode -> fingerprint -> band join -> verify
+    pipeline (a break anywhere yields hit=0 or a missing row and fails the
+    hash), while the oracle states the arithmetic ground truth. Unlike the
+    embedding recall reports the ground truth here is analytic rather than
+    brute-force recomputed — DuckDB cannot decode images; the dHash kernel
+    itself is pinned by tests/test_phash.py (container independence,
+    locality, pigeonhole candidacy)."""
+    from hmse_spark.operators import phash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assets = phash.synthesize_image_corpus(docs, "doc_id", plant_mod=5)
+    pairs = phash.image_near_dup_pairs(assets)
+    planted = assets.filter(F.col("asset_id") >= 100000).select("asset_id")
+    found = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 100000) & (F.col("hamming") == 0)
+    ).select(F.col("id_b").alias("asset_id"), F.lit(1).alias("_found"))
+    return planted.join(found, "asset_id", "left").select(
+        "asset_id",
+        (F.col("asset_id") - 100000).cast("long").alias("base_id"),
+        F.coalesce(F.col("_found"), F.lit(0)).cast("int").alias("hit"),
+    )
+
+
+@register(
+    "multibyte_text_metrics",
+    """
+    WITH mb AS (
+      SELECT doc_id,
+             'café ' || substr(COALESCE(text, ''), 1, 40) || ' 日本語テキスト ' ||
+             repeat('я', CAST(doc_id % 4 AS INT)) || ' straße 🙂 ' ||
+             substr(COALESCE(text, ''), 50, 30) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(string_split(t, ' '), x -> x <> ''))
+                AS BIGINT) AS n_ws_tokens,
+           CAST(ROUND(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) * 1.0
+                      / greatest(length(t), 1), 6) AS DOUBLE) AS alpha_ratio,
+           CAST(ROUND((length(t) - length(replace(t, ' ', ''))) * 1.0
+                      / greatest(length(t), 1), 6) AS DOUBLE) AS space_ratio
+    FROM mb
+    """,
+)
+def q_multibyte_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-semantics text operators over a NON-ASCII corpus, driver-
+    certified (r5 verdict item #6 — upgrading the docs/MULTIBYTE.md
+    behavior table from pytest to a driver-surface certificate). Both
+    engines derive the same multibyte text per doc — accented Latin, CJK,
+    Cyrillic repeat runs keyed on doc_id, ß, and an astral-plane emoji
+    (the hard case: a surrogate pair in UTF-16, four bytes in UTF-8 — one
+    CHARACTER to both Spark's numChars and DuckDB's length) — then the
+    REAL operators run on the Spark side: whitespace_token_count
+    (functions/text.py) and the quality-signal ratio expressions. A hash
+    match certifies char==codepoint semantics end to end on text where
+    char != byte everywhere."""
+    from hmse_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    mb = F.concat(
+        F.lit("café "),
+        F.substring(txt, 1, 40),
+        F.lit(" 日本語テキスト "),
+        F.expr("repeat('я', CAST(doc_id % 4 AS INT))"),
+        F.lit(" straße 🙂 "),
+        F.substring(txt, 50, 30),
+    )
+    derived = docs.select("doc_id", mb.alias("mb_text"))
+    n = F.greatest(F.length("mb_text"), F.lit(1))
+    return derived.select(
+        "doc_id",
+        F.length("mb_text").cast("long").alias("n_chars"),
+        T.whitespace_token_count("mb_text").cast("long").alias("n_ws_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col("mb_text"), "[^a-zA-Z]", "")) / n, 6
+        ).alias("alpha_ratio"),
+        F.round(
+            (F.length("mb_text") - F.length(F.regexp_replace(F.col("mb_text"), " ", "")))
+            / n,
+            6,
+        ).alias("space_ratio"),
     )
 
 

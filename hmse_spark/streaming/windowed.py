@@ -103,7 +103,7 @@ def _split_sessions(times: list[int], gap_us: int) -> list[tuple[int, int, int]]
     return out
 
 
-def _session_fn(gap_us: int):
+def _session_fn(gap_us: int, max_state_events: int | None = None):
     """The applyInPandasWithState update function, closed over the gap.
 
     State = the SORTED event times (integer microseconds) of every session
@@ -156,6 +156,19 @@ def _session_fn(gap_us: int):
         if not new and not state.exists:
             return
         times = sorted((list(state.get[0]) if state.exists else []) + new)
+        if max_state_events is not None and len(times) > max_state_events:
+            # LOUD overflow, never silent truncation: dropping raw times
+            # would re-introduce exactly the summarized-state disorder bug
+            # the raw-times design exists to prevent, so a hyperactive key
+            # beyond the declared bound is an error the operator owner must
+            # size for (raise the cap, widen the gap, or shard the key).
+            # Bound measured at tools/session_state_stress.py: ~8 B/event
+            # of store state, 1M events/key = 8.1 MB + per-batch re-sort.
+            raise ValueError(
+                f"sessionize_stream state for key {key} holds {len(times)} "
+                f"in-horizon events (cap {max_state_events}); see "
+                "max_state_events docstring"
+            )
         sessions = _split_sessions(times, gap_us)
         wm_us = state.getCurrentWatermarkMs() * 1000
         final = [s for s in sessions if s[1] + gap_us < wm_us]
@@ -186,6 +199,7 @@ def sessionize_stream(
     watermark: str = "1 hour",
     ts_col: str = "ts",
     user_col: str = "user_id",
+    max_state_events: int | None = None,
 ) -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator
     (``applyInPandasWithState`` + EventTimeTimeout — the API for operators
@@ -193,7 +207,19 @@ def sessionize_stream(
     exactly when the session becomes watermark-final; sessions not yet
     final wait in state as raw event times (correctness under in-watermark
     disorder — see _session_fn). Output schema:
-    (user_id, session_start, session_end, n_events)."""
+    (user_id, session_start, session_end, n_events).
+
+    State bound (measured, tools/session_state_stress.py): state per key ∝
+    events inside the watermark horizon, ~8 bytes/event in the store —
+    1M events for one key held 8.1 MB and emitted one correct session, but
+    each batch touching that key re-sorts its full raw-times array, so the
+    per-batch wall grows with held state (11.7 s -> 53.8 s across 10
+    100k-event batches in the stress run). ``max_state_events`` declares
+    the per-key ceiling the deployment is sized for: beyond it the
+    operator raises LOUDLY (silent truncation would re-introduce the
+    summarized-state disorder bug). None = unbounded, the documented
+    default — correct for any key whose in-horizon event count fits
+    memory; size it from the stress tool's 8 B/event figure."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_minutes * 60 * _US
@@ -209,7 +235,7 @@ def sessionize_stream(
         .withWatermark("_ts", watermark)
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
-        _session_fn(gap_us),
+        _session_fn(gap_us, max_state_events),
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",

@@ -104,27 +104,29 @@ def test_char_semantic_oracles_hold_on_multibyte(spark, name, mb_dir):
 
 
 def test_bpeish_tokens_multibyte_behavior(spark, mb_dir):
-    """bpeish is the one counting op with a documented engine split: the
-    Python `re` tokenizer treats Unicode whitespace (NBSP, ideographic
-    space) as \\s while DuckDB RE2's \\s is ASCII-only, so the oracle holds
-    on multibyte LETTERS but can drift by exotic-whitespace count. Pinned:
-    the full multibyte fixture (no exotic whitespace) matches; a doc with
-    NBSP/ideographic space shows the documented +k divergence."""
+    """r6: the QUERY PATH moved to the codegen column (Java regex), whose
+    ASCII-only \\s matches DuckDB RE2 — the column is oracle-identical even
+    on exotic Unicode whitespace, so the old engine split now lives only in
+    the off-path Python-re UDF (kept as the parity reference). Pinned here:
+    the full multibyte fixture matches; on a doc with NBSP/ideographic
+    space the COLUMN agrees with DuckDB (7) while the UDF shows the
+    documented Unicode-\\s divergence (5)."""
     _compare(spark, mb_dir, "bpeish_token_counts")
 
-    from hmse_spark.functions.text import bpeish_token_count_udf
+    from hmse_spark.functions.text import bpeish_token_count_col, bpeish_token_count_udf
 
-    nbsp_text = "a b and wide　space"
+    nbsp_text = "a\xa0b and wide\u3000space"
     df = spark.createDataFrame([(1, nbsp_text)], "doc_id long, text string")
-    spark_n = df.select(bpeish_token_count_udf()("text").alias("n")).collect()[0]["n"]
+    col_n = df.select(bpeish_token_count_col("text").alias("n")).collect()[0]["n"]
+    udf_n = df.select(bpeish_token_count_udf()("text").alias("n")).collect()[0]["n"]
     duck_n = duckdb.connect().execute(
         "SELECT len(regexp_extract_all(?, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))",
         [nbsp_text],
     ).fetchone()[0]
-    # Python \s (Unicode) consumed the NBSP and the ideographic space;
-    # RE2's ASCII \s let each match [^...] as one token — the documented
-    # divergence, one per exotic-whitespace char: +2 here
-    assert (spark_n, duck_n) == (5, 7)
+    # column == RE2 (ASCII \s: each exotic-whitespace char is its own
+    # token); Python \s (Unicode) consumed NBSP + ideographic space in
+    # the UDF — the divergence now confined off the query path
+    assert (col_n, udf_n, duck_n) == (7, 5, 7)
 
 
 def test_byte_gram_paths_are_utf8_byte_consistent():

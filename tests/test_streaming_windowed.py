@@ -248,6 +248,38 @@ def test_sessionize_stream_drops_null_event_times(spark, stream_env):
         q.stop()
 
 
+def test_sessionize_stream_state_cap_raises_loudly(spark, stream_env):
+    """r6: max_state_events is a LOUD overflow guard, never silent
+    truncation (dropping raw times would re-introduce the summarized-state
+    disorder bug). A key exceeding its declared in-horizon ceiling must
+    fail the query with the sizing message; the same feed under the
+    default (unbounded) succeeds. The 1M-event bound itself is measured in
+    tools/session_state_stress.py (~8 B/event held state)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from hmse_spark.streaming.windowed import sessionize_stream
+
+    feeder, stream = stream_env
+    sessions = sessionize_stream(
+        stream, gap_minutes=30, watermark="1 hour", max_state_events=5
+    )
+    name = f"sesscap_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", feeder.dir + "_ckpt")
+        .start()
+    )
+    try:
+        with pytest.raises(StreamingQueryException, match="in-horizon events"):
+            feeder.feed([(1, "c", _t(9, i)) for i in range(8)], q)
+            q.awaitTermination(30)
+            raise AssertionError("query should have failed")  # pragma: no cover
+    finally:
+        q.stop()
+
+
 def test_sessionize_stream_matches_batch_sessionizer(spark, stream_env):
     """On a finite input fully flushed by a far-future watermark push, the
     stream's sessions (per user: count + bounds) must equal the batch

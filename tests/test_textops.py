@@ -39,6 +39,38 @@ def test_token_counts(spark):
     assert bpe[1] == 3 and bpe[3] == 0
 
 
+def test_bpeish_column_matches_udf_parity(spark):
+    """r6: the query path moved to the codegen column; the Arrow UDF stays
+    as the parity reference. On ASCII text (incl. NULL/empty/punct-heavy)
+    the two must agree exactly."""
+    rows = [
+        (1, "  a bb  ccc  "),
+        (2, "one"),
+        (3, ""),
+        (4, None),
+        (5, "x=1;  y[2] += f(z) * 1234 // '!@#'"),
+        (6, "tabs\tand\nnewlines mixed 007"),
+        (7, "a" * 500 + " " + "9" * 10),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    both = df.select(
+        "id",
+        T.bpeish_token_count_col("text").alias("col_n"),
+        T.bpeish_token_count_udf()(F.col("text")).alias("udf_n"),
+    ).collect()
+    assert all(r["col_n"] == r["udf_n"] for r in both), [
+        (r["id"], r["col_n"], r["udf_n"]) for r in both
+    ]
+    # and the column really is JVM-side: no Arrow/Python eval in its plan
+    plan = (
+        df.select(T.bpeish_token_count_col("text").alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_language_id(spark):
     df = spark.createDataFrame(
         [
