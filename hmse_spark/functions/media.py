@@ -263,6 +263,12 @@ def decode_png(data: bytes) -> np.ndarray:
     expected = h * (1 + stride)
     d = zlib.decompressobj()
     raw = d.decompress(b"".join(idat), expected + 1)
+    if len(raw) <= expected and not d.eof:
+        # the bounded read must not relax zlib's completeness check: a
+        # stream cut off before its adler32 trailer previously raised in
+        # zlib.decompress and must keep raising, not silently decode
+        # (r6 review)
+        raise ValueError("truncated PNG zlib stream (no trailer)")
     if len(raw) != h * (1 + stride):
         raise ValueError(
             f"PNG raster is {len(raw)} bytes, expected {h * (1 + stride)}"

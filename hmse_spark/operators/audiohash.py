@@ -1,0 +1,172 @@
+"""Perceptual audio fingerprint (Haitsma-Kalker-style) — the audio
+counterpart of operators/phash.py, completing the multimodal near-dup
+surface (text: MinHash/SimHash; image: dHash; audio: this).
+
+Public design (Haitsma & Kalker, "A Highly Robust Audio Fingerprinting
+System", ISMIR 2002 — the published band-energy-difference scheme, reduced
+to one 64-bit frame hash per clip for the dedup use case): split the clip
+into 16 equal time frames, compute 5 spectral band energies per frame via
+the magnitude spectrum (rFFT), and emit sign bits of the band-energy
+differences along both axes — bit(f, b) = 1 iff
+(E[f,b] - E[f,b+1]) - (E[f-1,b] - E[f-1,b+1]) > 0 (the paper's
+time-and-band double difference; frame 0 uses plain band differences).
+16 frames x 4 band-pairs = 64 bits.
+
+Invariances (pinned by tests/test_audiohash.py):
+- EXACT amplitude-scaling invariance: energies scale uniformly, so every
+  difference keeps its sign (when the scaled samples are exactly
+  representable — the oracled query plants copies at scale 1/4 over
+  multiple-of-4 samples, making the invariance an integer-arithmetic
+  theorem rather than a float hope);
+- locality: small additive noise flips few bits (Hamming banding reuses
+  the simhash machinery, pigeonhole candidacy <= distance 7 at 8 bands).
+
+Scale shape mirrors phash: Arrow-batched WAV decode (mapInPandas), 8-byte
+fingerprints downstream, band-bucket equi-join, JVM-side bit_count verify.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hmse_spark.functions import media
+
+N_FRAMES = 16
+N_BANDS = 5  # 4 band differences per frame
+
+
+def audiohash64(samples: np.ndarray) -> int:
+    """(n,) int16/float mono samples -> 64-bit perceptual hash (int64
+    two's complement, Spark `long`-compatible). Clips shorter than
+    N_FRAMES samples are zero-padded; the all-silence clip hashes to 0."""
+    x = np.asarray(samples, dtype=np.float64).ravel()
+    if x.size < N_FRAMES:
+        x = np.pad(x, (0, N_FRAMES - x.size))
+    n = (x.size // N_FRAMES) * N_FRAMES
+    frames = x[:n].reshape(N_FRAMES, -1)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    # N_BANDS equal slices of the positive spectrum (DC excluded: DC tracks
+    # mean offset, not timbre, and breaks scaling invariance for biased
+    # integer signals)
+    nb = spec.shape[1] - 1
+    if nb < N_BANDS:
+        spec = np.pad(spec, ((0, 0), (0, 1 + N_BANDS - spec.shape[1])))
+        nb = N_BANDS
+    edges = (np.arange(N_BANDS + 1) * nb) // N_BANDS + 1
+    bands = np.add.reduceat(spec[:, 1:], edges[:-1] - 1, axis=1)[:, :N_BANDS]
+    diff = bands[:, :-1] - bands[:, 1:]  # (16, 4) band differences
+    dd = np.empty_like(diff)
+    dd[0] = diff[0]
+    dd[1:] = diff[1:] - diff[:-1]  # double difference along time
+    bits = (dd > 0).astype(np.uint8).reshape(-1)
+    packed = np.packbits(bits, bitorder="little")
+    return int(packed.view(np.uint64)[0].astype(np.int64))
+
+
+def add_audiohash(assets: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """assets + (ahash long nullable, decode_ok boolean): Arrow-batched WAV
+    decode + fingerprint; non-audio / undecodable payloads get NULL + False
+    (the multimodal auto contract)."""
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in assets.schema.fields]
+        + ["ahash long", "decode_ok boolean"]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes: list[int | None] = []
+            oks: list[bool] = []
+            for payload in pdf[payload_col]:
+                try:
+                    samples, _rate = media.decode_wav(bytes(payload))
+                    hashes.append(audiohash64(samples))
+                    oks.append(True)
+                except ValueError:
+                    hashes.append(None)
+                    oks.append(False)
+            pdf = pdf.copy()
+            pdf["ahash"] = pd.array(hashes, dtype="Int64")
+            pdf["decode_ok"] = oks
+            yield pdf
+
+    return assets.mapInPandas(run, out_schema)
+
+
+def synthesize_audio_corpus(
+    ids: DataFrame, id_col: str = "doc_id", plant_mod: int = 5, scale_den: int = 4
+) -> DataFrame:
+    """(asset_id, payload): one deterministic PCM16 WAV per id (samples are
+    multiples of ``scale_den``, executor-side), plus for ids % plant_mod
+    == 0 an amplitude-scaled copy at EXACTLY 1/scale_den (integer-exact,
+    keyed id+100000). Uniform scaling preserves every band-energy
+    difference sign, so the planted copies are deterministically
+    fingerprint-identical — the property the oracled query certifies."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids: list[int] = []
+            payloads: list[bytes] = []
+            for base in pdf[id_col]:
+                base = int(base)
+                rng = np.random.default_rng(base)
+                n = int(rng.integers(2048, 4096))
+                samples = (
+                    rng.integers(-8000, 8000, size=n, dtype=np.int64) * scale_den
+                ).astype(np.int16)
+                out_ids.append(base)
+                payloads.append(media.encode_wav(samples, 16000))
+                if base % plant_mod == 0:
+                    out_ids.append(base + 100000)
+                    payloads.append(
+                        media.encode_wav(
+                            (samples // scale_den).astype(np.int16), 16000
+                        )
+                    )
+            yield pd.DataFrame({"asset_id": out_ids, "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(run, "asset_id long, payload binary")
+
+
+def audio_near_dup_pairs(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_hamming: int = 7,
+    n_bands: int = 8,
+    max_bucket_size: int = 1_000_000,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for audio pairs within ``max_hamming``
+    fingerprint bits — the same banded machinery as
+    phash.image_near_dup_pairs (8x8-bit band buckets, never all-pairs;
+    exact Hamming verify JVM-side). Carries the fingerprint cache under
+    the verify.py gram-cache convention (adopt_gram_cache transfers)."""
+    import dataclasses
+    import weakref
+
+    from hmse_spark.config import DEFAULT
+    from hmse_spark.operators import lsh, simhash
+    from hmse_spark.operators.phash import explode_dhash_bands
+    from hmse_spark.operators.verify import _safe_unpersist
+
+    hashed = (
+        add_audiohash(assets, payload_col)
+        .select(id_col, F.col("ahash").alias("dhash"))
+        .persist()
+    )
+    band_df = explode_dhash_bands(hashed, id_col, n_bands)
+    cfg = dataclasses.replace(DEFAULT, max_bucket_size=max_bucket_size)
+    cands = lsh.candidate_pairs(band_df, cfg)
+    fps = hashed.withColumnRenamed("dhash", "simhash")
+    cfg_h = dataclasses.replace(cfg, simhash_max_hamming=max_hamming)
+    out = simhash.verified_sim_pairs(cands, fps, id_col, cfg_h).select(
+        "id_a", "id_b", "hamming"
+    )
+    out._hmse_gram_cache = hashed
+    out._hmse_gram_finalizer = weakref.finalize(out, _safe_unpersist, hashed)
+    return out

@@ -195,8 +195,12 @@ def image_near_dup_pairs(
 
     # persisted: the band explode AND the verification join both read the
     # fingerprints, and recomputing them means decoding every image twice.
-    # Lifetime follows the verify.py gram-cache convention — released when
-    # the result frame is garbage-collected (weakref backstop).
+    # Lifetime follows the verify.py gram-cache convention EXACTLY (same
+    # attribute names), so verify.adopt_gram_cache / release_gram_cache
+    # work on this result too — a caller that derives a frame from the
+    # pairs must adopt the handle or the finalizer unpersists the cache
+    # before the derived plan runs (the r6 review's q_image_near_dups
+    # finding).
     hashed = add_dhash(assets, payload_col).select(id_col, "dhash").persist()
     band_df = explode_dhash_bands(hashed, id_col, n_bands)
     cfg = dataclasses.replace(DEFAULT, max_bucket_size=max_bucket_size)
@@ -206,6 +210,6 @@ def image_near_dup_pairs(
     out = simhash.verified_sim_pairs(cands, fps, id_col, cfg_h).select(
         "id_a", "id_b", "hamming"
     )
-    out._hmse_dhash_cache = hashed
-    weakref.finalize(out, _safe_unpersist, hashed)
+    out._hmse_gram_cache = hashed
+    out._hmse_gram_finalizer = weakref.finalize(out, _safe_unpersist, hashed)
     return out

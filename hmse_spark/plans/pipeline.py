@@ -121,11 +121,18 @@ def run_near_dup_pipeline(
     pair_sets: list[DataFrame] = []
     minhash_annotated = None
     if "minhash" in variants:
-        # cfg.bucket_size_strategy (default "auto"): the probe job re-reads
-        # the PERSISTED signature stage (cheap), and a degenerate corpus
+        # cfg.bucket_size_strategy (default "auto"): the probe is an EAGER
+        # job at pipeline-construction time. On FIRST construction it is
+        # the action that fills the persisted files_meta/index/reps/
+        # signature stages (they are marked persist but lazy until now), so
+        # it does not duplicate work — every later stage reuses the caches
+        # it filled, and construction was already eager anyway (connected
+        # components below materializes the edges). A degenerate corpus
         # whose largest band bucket would overwhelm one WindowExec task
         # flips the plan to the map-side-combined groupBy +
-        # broadcast-stratified join-back (BENCH/SKEW.md mega-bucket stress)
+        # broadcast-stratified join-back (BENCH/SKEW.md mega-bucket stress);
+        # interleaved A/B at sf0.1 measured the probe within run-to-run
+        # noise (docs/ROUND6.md)
         minhash_annotated = lsh.annotate_bucket_sizes(
             lsh.explode_bands(signatures, id_col),
             strategy=cfg.bucket_size_strategy,

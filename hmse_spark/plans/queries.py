@@ -2214,7 +2214,7 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS window_end,
            event_type AS action,
            CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events GROUP BY 1, 2, 3
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
     """,
 )
 def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2268,20 +2268,30 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force recomputed — DuckDB cannot decode images; the dHash kernel
     itself is pinned by tests/test_phash.py (container independence,
     locality, pigeonhole candidacy)."""
-    from hmse_spark.operators import phash
+    from hmse_spark.operators import phash, verify
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     assets = phash.synthesize_image_corpus(docs, "doc_id", plant_mod=5)
     pairs = phash.image_near_dup_pairs(assets)
-    planted = assets.filter(F.col("asset_id") >= 100000).select("asset_id")
+    # planted ids are pure arithmetic on doc_id — enumerating them through
+    # the assets frame would run the whole image synthesis a second time
+    # (r6 review)
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).cast("long").alias("asset_id")
+    )
     found = pairs.filter(
         (F.col("id_b") - F.col("id_a") == 100000) & (F.col("hamming") == 0)
     ).select(F.col("id_b").alias("asset_id"), F.lit(1).alias("_found"))
-    return planted.join(found, "asset_id", "left").select(
+    report = planted.join(found, "asset_id", "left").select(
         "asset_id",
         (F.col("asset_id") - 100000).cast("long").alias("base_id"),
         F.coalesce(F.col("_found"), F.lit(0)).cast("int").alias("hit"),
     )
+    # the report is derived from the pairs: take over the fingerprint-cache
+    # handle or its finalizer unpersists the cache before this plan runs
+    # and every image decodes ~3x (r6 review — the same lost-handle bug as
+    # the r5 containment query, same fix)
+    return verify.adopt_gram_cache(report, pairs)
 
 
 @register(

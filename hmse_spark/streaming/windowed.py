@@ -66,6 +66,11 @@ def windowed_event_counts(
     win = F.window(wts, window) if slide is None else F.window(wts, window, slide)
     return (
         events.withColumn("_ts", F.col(ts_col).cast("timestamp"))
+        # explicit, like sessionize_stream: Spark's TimeWindowing rewrite
+        # happens to drop null timestamps while a SQL date_trunc oracle
+        # groups them into a NULL bucket — make the drop a stated contract
+        # instead of divergent implicit behavior (r6 review)
+        .filter(F.col("_ts").isNotNull())
         .withWatermark("_ts", watermark)
         .groupBy(win.alias("_w"), F.col(action_col).alias("action"))
         .agg(F.count("*").cast("long").alias("n_events"))

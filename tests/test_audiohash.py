@@ -1,0 +1,88 @@
+"""Perceptual audio fingerprint (operators/audiohash.py): exact
+amplitude-scaling invariance (integer-exact planted copies), noise
+locality, degenerate inputs, and the banded near-dup operator end to end
+with an undecodable payload and cache-lifetime adoption."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hmse_spark.functions import media
+from hmse_spark.operators import audiohash
+
+
+def _samples(seed: int, n: int = 3000) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return (rng.integers(-8000, 8000, size=n, dtype=np.int64) * 4).astype(np.int16)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_audiohash_exact_amplitude_scaling_invariance():
+    s = _samples(1)
+    h = audiohash.audiohash64(s)
+    assert audiohash.audiohash64((s // 4).astype(np.int16)) == h
+    assert audiohash.audiohash64((s // 2).astype(np.int16)) == h
+    # float uniform scaling too (no quantization at all)
+    assert audiohash.audiohash64(s.astype(np.float64) * 0.123) == h
+
+
+def test_audiohash_locality_and_separation():
+    s = _samples(2)
+    h = audiohash.audiohash64(s)
+    rng = np.random.default_rng(9)
+    noisy = (
+        (s.astype(np.int64) + rng.integers(-2000, 2001, size=s.size))
+        .clip(-32768, 32767)
+        .astype(np.int16)
+    )
+    assert _ham(h, audiohash.audiohash64(noisy)) <= 7
+    # unrelated clips: far apart (sanity, not a guarantee)
+    assert _ham(h, audiohash.audiohash64(_samples(77))) > 7
+
+
+def test_audiohash_degenerate_inputs():
+    assert audiohash.audiohash64(np.zeros(100, dtype=np.int16)) == 0
+    assert audiohash.audiohash64(np.array([3], dtype=np.int16)) == 0
+    assert isinstance(audiohash.audiohash64(_samples(3, n=17)), int)
+
+
+def test_audio_near_dup_pairs_end_to_end(spark):
+    rows = []
+    for i in range(20):
+        s = _samples(100 + i)
+        rows.append((i, bytearray(media.encode_wav(s, 16000))))
+        if i % 5 == 0:  # planted integer-exact quarter-amplitude copy
+            rows.append(
+                (100000 + i, bytearray(media.encode_wav((s // 4).astype(np.int16), 16000)))
+            )
+    rows.append((999, bytearray(b"RIFFjunkWAVEnot really")))
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+
+    hashed = audiohash.add_audiohash(df)
+    got = {r["asset_id"]: (r["ahash"], r["decode_ok"]) for r in hashed.collect()}
+    assert got[999] == (None, False)
+    assert got[0][0] == got[100000][0] and got[0][1]
+
+    pairs = audiohash.audio_near_dup_pairs(df)
+    found = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])): r["hamming"]
+        for r in pairs.collect()
+    }
+    for i in range(0, 20, 5):
+        assert found.get((i, 100000 + i)) == 0, (i, found)
+    assert all(b - a == 100000 for a, b in found), found
+
+    # cache handle follows the verify.py convention and is adoptable
+    import gc
+
+    from hmse_spark.operators import verify
+
+    cached = pairs._hmse_gram_cache
+    child = verify.adopt_gram_cache(pairs.filter("id_a >= 0"), pairs)
+    del pairs
+    gc.collect()
+    assert cached.storageLevel.useMemory
+    assert verify.release_gram_cache(child) is True

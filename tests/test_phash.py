@@ -98,8 +98,16 @@ def test_image_near_dup_cache_released_on_gc(spark):
     df = spark.createDataFrame(rows, "asset_id long, payload binary")
     out = phash.image_near_dup_pairs(df)
     out.count()
-    cached = out._hmse_dhash_cache
+    cached = out._hmse_gram_cache
     assert cached.storageLevel.useMemory
+    # same handle convention as verify.py: adoption transfers the lifetime
+    # to a derived frame (the r6 review caught the driver query dropping it)
+    from hmse_spark.operators import verify
+
+    child = verify.adopt_gram_cache(out.filter("id_a >= 0"), out)
     del out
+    gc.collect()
+    assert cached.storageLevel.useMemory, "adopted cache must survive parent gc"
+    del child
     gc.collect()
     assert not cached.storageLevel.useMemory

@@ -171,6 +171,26 @@ def test_png_rejects_gigapixel_header_before_allocating():
         media.decode_png(data)
 
 
+def test_png_truncated_zlib_trailer_still_raises():
+    # r6 review: the bounded decompressobj must keep zlib's completeness
+    # check — a stream cut before its adler32 trailer can still inflate to
+    # exactly the promised raster size and must NOT silently decode
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    full = zlib.compress(
+        b"".join(b"\x00" + img[y].tobytes() for y in range(4)), 9
+    )
+    cut = full[:-4]  # drop the adler32 trailer; deflate data intact
+    hdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    data = (
+        media._PNG_MAGIC
+        + media._png_chunk(b"IHDR", hdr)
+        + media._png_chunk(b"IDAT", cut)
+        + media._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="trailer"):
+        media.decode_png(data)
+
+
 def test_png_zip_bomb_idat_is_bounded_not_materialized():
     # a 4x4 header with an IDAT that inflates to 64 MB: the bounded
     # decompressobj must stop at expected+1 bytes and fail the raster-size

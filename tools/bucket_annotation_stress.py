@@ -119,11 +119,17 @@ def main(argv: list[str] | None = None) -> None:
     assert out["window"]["checksum"] == out["groupby"]["checksum"], "strategy mismatch"
     assert out["window"]["rows"] == out["groupby"]["rows"] == 4 * n
 
-    # the auto probe's cost and decision at this shape (max bucket == n)
+    # the auto probe's cost and decision at this shape (max bucket == n) —
+    # the decision is read off the PLAN auto actually built, not inferred
+    # (r6 review: a hardcoded inference would certify behavior that never
+    # ran if the strategy choice regressed)
     t0 = time.time()
     auto = lsh.annotate_bucket_sizes(band, strategy="auto", window_threshold=1_000_000)
     probe_wall = round(time.time() - t0, 2)
-    picked = "groupby" if n > 1_000_000 else "window"
+    auto_plan = auto._jdf.queryExecution().executedPlan().toString()
+    picked = "groupby" if "Join" in auto_plan else "window"
+    expected = "groupby" if n > 1_000_000 else "window"
+    assert picked == expected, (picked, expected)
 
     json.dump(
         {
