@@ -2244,6 +2244,47 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "windowed_event_counts_sliding",
+    """
+    WITH e AS (
+      SELECT date_trunc('hour', ts) + CASE WHEN extract(minute FROM ts) >= 30
+               THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS s1,
+             event_type
+      FROM events WHERE ts IS NOT NULL
+    ), w AS (
+      SELECT unnest([s1, s1 - INTERVAL 30 MINUTE]) AS ws, event_type FROM e
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+           strftime(ws + INTERVAL 60 MINUTE, '%Y-%m-%d %H:%M') AS window_end,
+           event_type AS action,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def q_windowed_event_counts_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (1 h window, 30 min slide) through the
+    same streaming operator in batch mode: every event lands in exactly two
+    epoch-aligned windows, which the oracle reproduces by unnesting
+    [trunc30(ts), trunc30(ts) - 30 min] — plain TIMESTAMP arithmetic on
+    both sides, no timezone conversion. Registered in _ORACLED_DEMOTED
+    (pytest-level oracle via test_oracle_parity): the tumbling variant
+    holds the driver-window slot for this operator family."""
+    from hmse_spark.streaming.windowed import windowed_event_counts
+
+    events = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(
+        events, window="1 hour", slide="30 minutes", watermark="30 minutes",
+        ts_col="ts", action_col="event_type",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm").alias("window_end"),
+        "action",
+        "n_events",
+    )
+
+
+@register(
     "image_near_dups",
     """
     SELECT CAST(doc_id + 100000 AS BIGINT) AS asset_id,
@@ -2291,6 +2332,48 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # handle or its finalizer unpersists the cache before this plan runs
     # and every image decodes ~3x (r6 review — the same lost-handle bug as
     # the r5 containment query, same fix)
+    return verify.adopt_gram_cache(report, pairs)
+
+
+@register(
+    "audio_near_dups",
+    """
+    SELECT CAST(doc_id + 100000 AS BIGINT) AS asset_id,
+           CAST(doc_id AS BIGINT) AS base_id,
+           CAST(1 AS INT) AS hit
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup (operators/audiohash.py — Haitsma-Kalker
+    band-energy double-difference fingerprint + the shared Hamming-banding
+    machinery), certified like image_near_dups: every 5th doc_id gets an
+    amplitude-scaled planted copy at EXACTLY 1/4 (integer-exact over
+    multiple-of-4 samples, so scaling invariance is an arithmetic theorem,
+    not a float hope), synthesized executor-side. Identical fingerprints ->
+    every band collides -> Hamming 0, so each planted copy MUST report
+    hit=1 through the full WAV decode -> FFT band energies -> fingerprint
+    -> band join -> verify pipeline; the oracle states the analytic ground
+    truth (DuckDB cannot decode audio; the fingerprint kernel is pinned by
+    tests/test_audiohash.py). Registered in _ORACLED_DEMOTED (pytest-level
+    oracle): image_near_dups holds the driver-window slot for the
+    multimodal-dedup family."""
+    from hmse_spark.operators import audiohash, verify
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assets = audiohash.synthesize_audio_corpus(docs, "doc_id", plant_mod=5)
+    pairs = audiohash.audio_near_dup_pairs(assets)
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).cast("long").alias("asset_id")
+    )
+    found = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 100000) & (F.col("hamming") == 0)
+    ).select(F.col("id_b").alias("asset_id"), F.lit(1).alias("_found"))
+    report = planted.join(found, "asset_id", "left").select(
+        "asset_id",
+        (F.col("asset_id") - 100000).cast("long").alias("base_id"),
+        F.coalesce(F.col("_found"), F.lit(0)).cast("int").alias("hit"),
+    )
     return verify.adopt_gram_cache(report, pairs)
 
 
@@ -2559,6 +2642,10 @@ _ORACLED_DEMOTED = [
     # (the cascading-rollup entry is the stronger certificate and stays)
     "doc_embedding_profile",  # §2.3 join family held in-window by
     # orders_by_nation, parts_never_ordered, asof_*, click_purchase_within_hour
+    "windowed_event_counts_sliding",  # the tumbling variant holds the
+    # in-window slot for the event-time-window family
+    "audio_near_dups",  # image_near_dups holds the in-window slot for the
+    # multimodal perceptual-dedup family
 ]
 
 _ROWS_ONLY_PRIORITY = [
