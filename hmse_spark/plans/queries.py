@@ -379,6 +379,92 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.clusters
 
 
+@register(
+    "incremental_near_dup_clusters",
+    """
+    WITH RECURSIVE
+    reps AS (SELECT min(doc_id) AS id, text FROM documents GROUP BY text),
+    sh AS (
+      SELECT id,
+             list_distinct(list_transform(range(1, length(text) - 2),
+                                          i -> substr(text, CAST(i AS INT), 4))) AS s
+      FROM reps WHERE length(text) >= 4
+    ),
+    near AS (
+      SELECT a.id AS id_a, b.id AS id_b FROM sh a JOIN sh b ON a.id < b.id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85
+    ),
+    dup AS (
+      SELECT d.doc_id AS id_a, m.base AS id_b
+      FROM documents d
+      JOIN (SELECT sha256(text) AS sha, min(doc_id) AS base
+            FROM documents GROUP BY 1) m ON sha256(d.text) = m.sha
+      WHERE d.doc_id <> m.base
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM near UNION SELECT id_a, id_b FROM dup
+      UNION SELECT id_b, id_a FROM near UNION SELECT id_b, id_a FROM dup
+    ),
+    walk AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT w.id, e.id_b FROM walk w JOIN edges e ON e.id_a = w.label
+    )
+    SELECT CAST(id AS BIGINT) AS file_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY id
+    """,
+)
+def q_incremental_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup cluster maintenance, hash-pinned to the SAME
+    brute-force oracle as near_dup_clusters: batch 1 (doc_id % 10 < 7) runs
+    the full pipeline, batch 2 arrives later and is ingested with per-batch
+    cost (plans/incremental.py::ingest_near_dup_increment — exact-index
+    probe, one fused signature pass over never-seen reps, per-variant
+    candidate generation against state PROJECTED to touched buckets/fps,
+    exact verification, and reduced-graph cluster maintenance). The driver
+    hash certifies the strongest incremental claim available: the
+    incrementally-maintained labels are IDENTICAL to a from-scratch batch
+    run over the union — against an oracle that shares none of the
+    machinery. In production the state projections come from the tables
+    bin/run_pipeline.py already checkpoints (signatures, clusters,
+    exact_index); here they are rebuilt from batch 1 (north_star: resume
+    from persisted state with per-partition lineage)."""
+    from hmse_spark.config import DEFAULT
+    from hmse_spark.operators import exact_dedup as ed
+    from hmse_spark.operators import lsh, simhash
+    from hmse_spark.operators.fused import add_fused_signatures
+    from hmse_spark.plans.incremental import NearDupState, ingest_near_dup_increment
+    from hmse_spark.plans.pipeline import run_near_dup_pipeline
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, sf_dir).select("file_id", "content")
+    b1 = corpus.filter(F.col("file_id") % 10 < 7)
+    b2 = corpus.filter(F.col("file_id") % 10 >= 7)
+    res1 = run_near_dup_pipeline(spark, b1, with_metrics=False)
+
+    sha1 = ed.with_sha(b1, "content", "file_sha")
+    index1 = ed.build_index(sha1, "file_sha", "file_id")
+    reps1 = sha1.join(index1.select(F.col("canonical_id").alias("file_id")), "file_id")
+    sigs1 = add_fused_signatures(
+        reps1, "content", DEFAULT, ("minhash", "simhash", "substr")
+    ).select("file_id", "bands", "sim_bands", "anchor_fps")
+    state = NearDupState(
+        index=index1.select("file_sha", "canonical_id"),
+        reps=reps1.select("file_id", "content"),
+        labels=res1.clusters.select("file_id", "cluster_id"),
+        bands=lsh.explode_bands(sigs1, "file_id"),
+        sim_bands=simhash.explode_sim_bands(sigs1, "file_id"),
+        anchor_fps=sigs1.select(
+            F.col("file_id").alias("uid"), F.explode("anchor_fps").alias("fp")
+        ),
+    )
+    inc = ingest_near_dup_increment(spark, b2, state)
+    return inc.labels.select(
+        F.col("file_id").cast("long"), F.col("cluster_id").cast("long")
+    )
+
+
 @register("near_dup_metrics", None)
 def q_near_dup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hmse_spark.plans.pipeline import run_near_dup_pipeline
@@ -2646,6 +2732,9 @@ _ORACLED_DEMOTED = [
     # in-window slot for the event-time-window family
     "audio_near_dups",  # image_near_dups holds the in-window slot for the
     # multimodal perceptual-dedup family
+    "top_users_by_value",  # §2.6 sorts/top-k held in-window by
+    # embedding_topk (row_number rank <= 3 — the harder ordered certificate);
+    # demoted to seat incremental_near_dup_clusters, the round-6 flagship
 ]
 
 _ROWS_ONLY_PRIORITY = [

@@ -76,3 +76,75 @@ def test_pipeline_with_sa_variant(spark):
     dup_pairs = [(p["id_a"], p["id_b"]) for p in c.truth_pairs if p["is_dup"]]
     hit = sum(1 for a, b in dup_pairs if labels[a] == labels[b])
     assert hit / len(dup_pairs) >= 0.95
+
+
+def test_update_clusters_incremental_merges_and_relabels(spark):
+    """Reduced-graph cluster maintenance: a new doc bridging two OLD
+    clusters merges them; a new id smaller than an old cluster's min
+    becomes the merged component's label; edge-free new ids become
+    singletons; untouched clusters pass through unchanged."""
+    from hmse_spark.plans.incremental import update_clusters_incremental
+
+    labels = spark.createDataFrame(
+        # clusters {10,11}->10, {20,21}->20, untouched {30,31}->30
+        [(10, 10), (11, 10), (20, 20), (21, 20), (30, 30), (31, 30)],
+        "file_id long, cluster_id long",
+    )
+    edges = spark.createDataFrame(
+        # new doc 100 bridges both old clusters; new doc 5 attaches to 21
+        [(100, 11), (100, 21), (5, 21)],
+        "id_a long, id_b long",
+    )
+    new_ids = spark.createDataFrame([(100,), (5,), (999,)], "file_id long")
+    got = {
+        r["file_id"]: r["cluster_id"]
+        for r in update_clusters_incremental(labels, edges, new_ids).collect()
+    }
+    # merged component = {10,11,20,21,100,5} -> min id 5
+    assert got == {
+        10: 5, 11: 5, 20: 5, 21: 5, 100: 5, 5: 5,
+        30: 30, 31: 30, 999: 999,
+    }, got
+
+
+def test_ingest_near_dup_increment_equals_batch_run(spark):
+    """The strongest incremental claim, pytest-pinned at corpus level (the
+    driver query pins it against the DuckDB oracle): splitting a corpus
+    into two batches and ingesting the second incrementally produces
+    LABEL-IDENTICAL clusters to a from-scratch batch run over the union."""
+    from hmse_spark.config import DEFAULT
+    from hmse_spark.operators import simhash
+    from hmse_spark.plans.incremental import NearDupState, ingest_near_dup_increment
+
+    corpus = corpus_to_spark(spark, generate_corpus(CorpusSpec(n_files=300, seed=51)))
+    corpus = corpus.select("file_id", "content")
+    b1 = corpus.filter(F.col("file_id") % 3 != 0)
+    b2 = corpus.filter(F.col("file_id") % 3 == 0)
+
+    res1 = run_near_dup_pipeline(spark, b1, with_metrics=False)
+    sha1 = exact_dedup.with_sha(b1, "content", "file_sha")
+    index1 = exact_dedup.build_index(sha1, "file_sha", "file_id")
+    reps1 = sha1.join(index1.select(F.col("canonical_id").alias("file_id")), "file_id")
+    sigs1 = add_fused_signatures(
+        reps1, "content", DEFAULT, ("minhash", "simhash", "substr")
+    ).select("file_id", "bands", "sim_bands", "anchor_fps")
+    state = NearDupState(
+        index=index1.select("file_sha", "canonical_id"),
+        reps=reps1.select("file_id", "content"),
+        labels=res1.clusters.select("file_id", "cluster_id"),
+        bands=lsh.explode_bands(sigs1, "file_id"),
+        sim_bands=simhash.explode_sim_bands(sigs1, "file_id"),
+        anchor_fps=sigs1.select(
+            F.col("file_id").alias("uid"), F.explode("anchor_fps").alias("fp")
+        ),
+    )
+    inc = ingest_near_dup_increment(spark, b2, state)
+    incremental = {
+        r["file_id"]: r["cluster_id"] for r in inc.labels.collect()
+    }
+    batch = {
+        r["file_id"]: r["cluster_id"]
+        for r in run_near_dup_pipeline(spark, corpus, with_metrics=False)
+        .clusters.collect()
+    }
+    assert incremental == batch
