@@ -114,6 +114,13 @@ def synthesize_audio_corpus(
             payloads: list[bytes] = []
             for base in pdf[id_col]:
                 base = int(base)
+                if base >= 100000:
+                    # loud keyspace guard (r6 review): a base id at or above
+                    # the planted-copy offset would collide with a copy's
+                    # asset_id and corrupt hit accounting at larger SFs
+                    raise ValueError(
+                        f"id {base} collides with the +100000 planted keyspace"
+                    )
                 rng = np.random.default_rng(base)
                 n = int(rng.integers(2048, 4096))
                 samples = (

@@ -38,6 +38,49 @@ class IncrementalResult:
     index_delta: DataFrame | None = None  # index ledger rows to APPEND (see below)
 
 
+def _probe_exact(
+    new_sha: DataFrame, existing_index: DataFrame, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared L3 probe for both ingest modes (factored r6 review: the two
+    modes must never diverge on pointer/replay semantics). Returns
+    (pointer_rows, external_ptrs, unseen, batch_index, reps):
+
+    - exact hits against the PERSISTED index -> pointer rows, zero L4 work.
+      The id != base guard matters under at-least-once replay: a replayed
+      batch finds its own shas in the index with canonical_id == its own
+      ids and must not emit self-pointers;
+    - never-seen contents only (left_anti), then dedup within the batch
+      itself — WITHIN-batch duplicates are pointer rows too (base = batch
+      canonical); without these a second copy arriving in the same batch
+      would vanish from every output."""
+    external_ptrs = (
+        new_sha.join(
+            existing_index.select("file_sha", F.col("canonical_id").alias("base_id")),
+            "file_sha",
+        )
+        .filter(F.col(id_col) != F.col("base_id"))
+        .select(id_col, "file_sha", "base_id")
+    )
+    unseen = new_sha.join(existing_index.select("file_sha"), "file_sha", "left_anti")
+    batch_index = exact_dedup.build_index(unseen, "file_sha", id_col)
+    reps = unseen.join(batch_index.select(F.col("canonical_id").alias(id_col)), id_col)
+    internal_ptrs = (
+        unseen.join(
+            batch_index.select("file_sha", F.col("canonical_id").alias("base_id")),
+            "file_sha",
+        )
+        .filter(F.col(id_col) != F.col("base_id"))
+        .select(id_col, "file_sha", "base_id")
+    )
+    return (
+        external_ptrs.unionByName(internal_ptrs),
+        external_ptrs,
+        unseen,
+        batch_index,
+        reps,
+    )
+
+
 def ingest_increment(
     spark: SparkSession,
     new_files: DataFrame,
@@ -48,38 +91,9 @@ def ingest_increment(
     content_col: str = "content",
 ) -> IncrementalResult:
     new_sha = exact_dedup.with_sha(new_files, content_col, "file_sha")
-
-    # exact hits against the PERSISTED index -> pointer rows, zero L4 work.
-    # The id != base guard matters under at-least-once replay: a replayed
-    # batch finds its own shas in the index with canonical_id == its own ids
-    # and must not emit self-pointers.
-    external_ptrs = (
-        new_sha.join(
-            existing_index.select("file_sha", F.col("canonical_id").alias("base_id")),
-            "file_sha",
-        )
-        .filter(F.col(id_col) != F.col("base_id"))
-        .select(id_col, "file_sha", "base_id")
+    pointer_rows, external_ptrs, unseen, batch_index, reps = _probe_exact(
+        new_sha, existing_index, id_col
     )
-
-    # never-seen contents only (left_anti against the persisted index), then
-    # dedup within the batch itself
-    unseen = new_sha.join(existing_index.select("file_sha"), "file_sha", "left_anti")
-    batch_index = exact_dedup.build_index(unseen, "file_sha", id_col)
-    reps = unseen.join(batch_index.select(F.col("canonical_id").alias(id_col)), id_col)
-
-    # WITHIN-batch duplicates are pointer rows too (base = batch canonical);
-    # without these a second copy arriving in the same batch would vanish
-    # from every output
-    internal_ptrs = (
-        unseen.join(
-            batch_index.select("file_sha", F.col("canonical_id").alias("base_id")),
-            "file_sha",
-        )
-        .filter(F.col(id_col) != F.col("base_id"))
-        .select(id_col, "file_sha", "base_id")
-    )
-    pointer_rows = external_ptrs.unionByName(internal_ptrs)
 
     sigs = add_fused_signatures(reps, content_col, cfg, ("minhash",)).select(
         id_col, "file_sha", "sig", "bands"
@@ -129,7 +143,8 @@ def ingest_increment(
 
 # --------------------------------------------------------------------------
 # Incremental NEAR-dup clustering (round 6): per-batch cluster maintenance
-# that provably lands on the exact labels a full-batch re-run would produce.
+# whose reduced-graph merge is exact and whose end-to-end labels are
+# hash-certified against the batch path's own brute-force oracle.
 # --------------------------------------------------------------------------
 
 
@@ -164,7 +179,9 @@ def update_clusters_incremental(
     """Merge NEW edges into an existing min-id labeling so the result equals
     a full-batch connected-components run over the union — the certificate
     the incremental_near_dup_clusters query hash-pins against the batch
-    oracle.
+    oracle. Ids already present in ``existing_labels`` are dropped from
+    ``new_ids`` (at-least-once replay safety, r6 review: a replayed batch
+    would otherwise emit a second, conflicting label row per file).
 
     Reduced-graph argument: every old component is represented by its label
     (its min id). Mapping each new edge's endpoints through the existing
@@ -176,6 +193,9 @@ def update_clusters_incremental(
     clusters the batch reached, and untouched labels stream through."""
     from hmse_spark.operators import connected_components as cc
 
+    new_ids = new_ids.select(id_col).join(
+        existing_labels.select(id_col), id_col, "left_anti"
+    )
     lab_a = existing_labels.select(
         F.col(id_col).alias("id_a"), F.col("cluster_id").alias("_la")
     )
@@ -216,6 +236,38 @@ def update_clusters_incremental(
     return old_updated.unionByName(new_labels)
 
 
+def build_near_dup_state(
+    spark: SparkSession,
+    files: DataFrame,
+    labels: DataFrame,
+    cfg: PipelineConfig = DEFAULT,
+    id_col: str = "file_id",
+    content_col: str = "content",
+) -> NearDupState:
+    """Rebuild NearDupState projections from a corpus + its cluster labels
+    (one definition shared by the driver query and the equivalence test —
+    r6 review). In production the signature-derived frames come from the
+    tables bin/run_pipeline.py checkpoints instead of a recompute."""
+    from hmse_spark.operators import simhash as sim_mod
+
+    sha = exact_dedup.with_sha(files, content_col, "file_sha")
+    index = exact_dedup.build_index(sha, "file_sha", id_col)
+    reps = sha.join(index.select(F.col("canonical_id").alias(id_col)), id_col)
+    sigs = add_fused_signatures(
+        reps, content_col, cfg, ("minhash", "simhash", "substr")
+    ).select(id_col, "bands", "sim_bands", "anchor_fps")
+    return NearDupState(
+        index=index.select("file_sha", "canonical_id"),
+        reps=reps.select(id_col, content_col),
+        labels=labels.select(id_col, "cluster_id"),
+        bands=lsh.explode_bands(sigs, id_col),
+        sim_bands=sim_mod.explode_sim_bands(sigs, id_col),
+        anchor_fps=sigs.select(
+            F.col(id_col).alias("uid"), F.explode("anchor_fps").alias("fp")
+        ),
+    )
+
+
 def ingest_near_dup_increment(
     spark: SparkSession,
     new_files: DataFrame,
@@ -238,40 +290,37 @@ def ingest_near_dup_increment(
        touches (semi-joins on the new batch's band keys / anchor fps), then
        exact-Jaccard verification over old ∪ new rep contents — only pairs
        touching a new unit;
-    4. cluster maintenance via update_clusters_incremental: the returned
-       labels are PROVABLY the full-batch labels on the union (hash-pinned
-       by the incremental_near_dup_clusters driver query against the same
-       brute-force DuckDB oracle as near_dup_clusters).
+    4. cluster maintenance via update_clusters_incremental — the reduced-
+       graph merge itself is exact (given the same edge set, incremental
+       labels == batch labels, a theorem).
+
+    Candidate-set equivalence with the batch pipeline is CERTIFIED, not
+    structural (r6 review): the increment skips the batch path's simhash
+    Hamming pre-filter (a pruning step — strictly MORE candidates reach
+    exact verification) and bucket-cap hub/salt decisions depend on bucket
+    sizes that can cross the cap at the batch boundary. Both effects only
+    matter on pairs where the batch pipeline itself deviates from the
+    brute-force truth, so the guarantee is stated against the ORACLE: the
+    incremental labels hash-match the same brute-force DuckDB oracle that
+    certifies near_dup_clusters (the incremental_near_dup_clusters driver
+    query), i.e. incremental == batch wherever batch == truth.
     """
     from hmse_spark.operators import simhash as sim_mod
     from hmse_spark.operators import suffix, verify
 
-    new_sha = exact_dedup.with_sha(new_files, content_col, "file_sha")
-    external_ptrs = (
-        new_sha.join(
-            state.index.select("file_sha", F.col("canonical_id").alias("base_id")),
-            "file_sha",
-        )
-        .filter(F.col(id_col) != F.col("base_id"))
-        .select(id_col, "file_sha", "base_id")
-    )
-    unseen = new_sha.join(state.index.select("file_sha"), "file_sha", "left_anti")
-    batch_index = exact_dedup.build_index(unseen, "file_sha", id_col)
-    new_reps = unseen.join(
-        batch_index.select(F.col("canonical_id").alias(id_col)), id_col
-    )
-    internal_ptrs = (
-        unseen.join(
-            batch_index.select("file_sha", F.col("canonical_id").alias("base_id")),
-            "file_sha",
-        )
-        .filter(F.col(id_col) != F.col("base_id"))
-        .select(id_col, "file_sha", "base_id")
-    )
-    pointer_rows = external_ptrs.unionByName(internal_ptrs)
+    from hmse_spark.runtime import fan_out_small_input
 
+    new_sha = exact_dedup.with_sha(new_files, content_col, "file_sha")
+    pointer_rows, _ext, _unseen, _bidx, new_reps = _probe_exact(
+        new_sha, state.index, id_col
+    )
+
+    # small batches are the COMMON incremental case: fan out before the
+    # fused Arrow pass or a one-partition batch pins the hot path to one
+    # core (the same guard the batch pipeline applies — r6 review)
+    reps_wide = fan_out_small_input(new_reps, probe=new_files)
     sigs = add_fused_signatures(
-        new_reps, content_col, cfg, ("minhash", "simhash", "substr")
+        reps_wide, content_col, cfg, ("minhash", "simhash", "substr")
     ).select(id_col, "file_sha", "sig", "bands", "simhash", "sim_bands", "anchor_fps")
     from pyspark import StorageLevel
 
@@ -293,7 +342,18 @@ def ingest_near_dup_increment(
     mh_touched = new_bands.unionByName(
         state.bands.join(mh_keys, ["band_id", "band_hash"], "left_semi")
     )
-    mh_pairs = _touching_new(lsh.candidate_pairs(mh_touched, cfg))
+    # same skew-adaptive annotation the batch pipeline passes: a hot
+    # persisted bucket is re-touched by EVERY colliding batch, the exact
+    # shape the window plan's one-task cliff hits (r6 review)
+    mh_pairs = _touching_new(
+        lsh.candidate_pairs(
+            None,
+            cfg,
+            annotated=lsh.annotate_bucket_sizes(
+                mh_touched, strategy=cfg.bucket_size_strategy
+            ),
+        )
+    )
 
     # SimHash bands, same shape (the batch pipeline's Hamming pre-filter is
     # a pruning step only — skipping it here cannot lose a pair, every
@@ -331,6 +391,16 @@ def ingest_near_dup_increment(
     labels = update_clusters_incremental(
         state.labels, new_edges, new_sha.select(id_col), id_col
     )
+    # the signature cache follows the verify.py gram-cache convention on
+    # the labels frame (r6 review: the driver query keeps only labels, and
+    # without a handle+finalizer each incremental run would leak one
+    # persisted entry); verify.adopt_gram_cache / release_gram_cache apply
+    import weakref
+
+    from hmse_spark.operators.verify import _safe_unpersist
+
+    labels._hmse_gram_cache = sigs
+    labels._hmse_gram_finalizer = weakref.finalize(labels, _safe_unpersist, sigs)
     return NearDupIncrementResult(
         labels=labels,
         pointer_rows=pointer_rows,

@@ -430,11 +430,10 @@ def q_incremental_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFra
     bin/run_pipeline.py already checkpoints (signatures, clusters,
     exact_index); here they are rebuilt from batch 1 (north_star: resume
     from persisted state with per-partition lineage)."""
-    from hmse_spark.config import DEFAULT
-    from hmse_spark.operators import exact_dedup as ed
-    from hmse_spark.operators import lsh, simhash
-    from hmse_spark.operators.fused import add_fused_signatures
-    from hmse_spark.plans.incremental import NearDupState, ingest_near_dup_increment
+    from hmse_spark.plans.incremental import (
+        build_near_dup_state,
+        ingest_near_dup_increment,
+    )
     from hmse_spark.plans.pipeline import run_near_dup_pipeline
     from hmse_spark.sources.tables import documents_as_corpus
 
@@ -442,23 +441,7 @@ def q_incremental_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFra
     b1 = corpus.filter(F.col("file_id") % 10 < 7)
     b2 = corpus.filter(F.col("file_id") % 10 >= 7)
     res1 = run_near_dup_pipeline(spark, b1, with_metrics=False)
-
-    sha1 = ed.with_sha(b1, "content", "file_sha")
-    index1 = ed.build_index(sha1, "file_sha", "file_id")
-    reps1 = sha1.join(index1.select(F.col("canonical_id").alias("file_id")), "file_id")
-    sigs1 = add_fused_signatures(
-        reps1, "content", DEFAULT, ("minhash", "simhash", "substr")
-    ).select("file_id", "bands", "sim_bands", "anchor_fps")
-    state = NearDupState(
-        index=index1.select("file_sha", "canonical_id"),
-        reps=reps1.select("file_id", "content"),
-        labels=res1.clusters.select("file_id", "cluster_id"),
-        bands=lsh.explode_bands(sigs1, "file_id"),
-        sim_bands=simhash.explode_sim_bands(sigs1, "file_id"),
-        anchor_fps=sigs1.select(
-            F.col("file_id").alias("uid"), F.explode("anchor_fps").alias("fp")
-        ),
-    )
+    state = build_near_dup_state(spark, b1, res1.clusters)
     inc = ingest_near_dup_increment(spark, b2, state)
     return inc.labels.select(
         F.col("file_id").cast("long"), F.col("cluster_id").cast("long")

@@ -112,9 +112,10 @@ def test_ingest_near_dup_increment_equals_batch_run(spark):
     driver query pins it against the DuckDB oracle): splitting a corpus
     into two batches and ingesting the second incrementally produces
     LABEL-IDENTICAL clusters to a from-scratch batch run over the union."""
-    from hmse_spark.config import DEFAULT
-    from hmse_spark.operators import simhash
-    from hmse_spark.plans.incremental import NearDupState, ingest_near_dup_increment
+    from hmse_spark.plans.incremental import (
+        build_near_dup_state,
+        ingest_near_dup_increment,
+    )
 
     corpus = corpus_to_spark(spark, generate_corpus(CorpusSpec(n_files=300, seed=51)))
     corpus = corpus.select("file_id", "content")
@@ -122,22 +123,7 @@ def test_ingest_near_dup_increment_equals_batch_run(spark):
     b2 = corpus.filter(F.col("file_id") % 3 == 0)
 
     res1 = run_near_dup_pipeline(spark, b1, with_metrics=False)
-    sha1 = exact_dedup.with_sha(b1, "content", "file_sha")
-    index1 = exact_dedup.build_index(sha1, "file_sha", "file_id")
-    reps1 = sha1.join(index1.select(F.col("canonical_id").alias("file_id")), "file_id")
-    sigs1 = add_fused_signatures(
-        reps1, "content", DEFAULT, ("minhash", "simhash", "substr")
-    ).select("file_id", "bands", "sim_bands", "anchor_fps")
-    state = NearDupState(
-        index=index1.select("file_sha", "canonical_id"),
-        reps=reps1.select("file_id", "content"),
-        labels=res1.clusters.select("file_id", "cluster_id"),
-        bands=lsh.explode_bands(sigs1, "file_id"),
-        sim_bands=simhash.explode_sim_bands(sigs1, "file_id"),
-        anchor_fps=sigs1.select(
-            F.col("file_id").alias("uid"), F.explode("anchor_fps").alias("fp")
-        ),
-    )
+    state = build_near_dup_state(spark, b1, res1.clusters)
     inc = ingest_near_dup_increment(spark, b2, state)
     incremental = {
         r["file_id"]: r["cluster_id"] for r in inc.labels.collect()
@@ -148,3 +134,33 @@ def test_ingest_near_dup_increment_equals_batch_run(spark):
         .clusters.collect()
     }
     assert incremental == batch
+
+
+def test_ingest_near_dup_increment_replay_is_idempotent(spark):
+    """At-least-once redelivery: re-ingesting the SAME batch against state
+    that already absorbed it must return exactly one label row per file
+    with unchanged labels (r6 review: replayed ids previously got a second,
+    conflicting singleton row)."""
+    from hmse_spark.plans.incremental import (
+        build_near_dup_state,
+        ingest_near_dup_increment,
+    )
+
+    corpus = corpus_to_spark(spark, generate_corpus(CorpusSpec(n_files=120, seed=52)))
+    corpus = corpus.select("file_id", "content")
+    b1 = corpus.filter(F.col("file_id") % 3 != 0)
+    b2 = corpus.filter(F.col("file_id") % 3 == 0)
+    res1 = run_near_dup_pipeline(spark, b1, with_metrics=False)
+    state1 = build_near_dup_state(spark, b1, res1.clusters)
+    first = ingest_near_dup_increment(spark, b2, state1)
+    labels1 = {r["file_id"]: r["cluster_id"] for r in first.labels.collect()}
+
+    # state after the first ingest: full union corpus + its labels
+    state2 = build_near_dup_state(spark, corpus, first.labels)
+    replay = ingest_near_dup_increment(spark, b2, state2)
+    rows = replay.labels.collect()
+    assert len(rows) == len(labels1), "replay must not duplicate label rows"
+    assert {r["file_id"]: r["cluster_id"] for r in rows} == labels1
+    # replayed non-rep files legitimately re-emit pointers to their (now
+    # persisted) canonical; only SELF-pointers must be filtered
+    assert replay.pointer_rows.filter("file_id = base_id").count() == 0
