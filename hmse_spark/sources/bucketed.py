@@ -1,0 +1,73 @@
+"""Bucketed-table storage for shuffle-free (co-located) joins.
+
+The chunk store's hottest recurring join is (chunk_records ⋈ unique_chunks)
+on chunk_sha — the read path runs it for every reconstruction, incremental
+ingest probes it per batch. Stored as plain parquet, EVERY such join
+shuffles both sides on the key. Bucketed tables persist the partitioning
+INTO the storage layout (Spark's bucketBy: each file belongs to
+hash(key) % n buckets, recorded in the catalog), so two tables bucketed on
+the same key with the same bucket count join with ZERO Exchange on either
+side — the shuffle is paid once at write time and amortized over every
+subsequent join, the standard warehouse trick the driver brief names
+("bucketing for co-located joins").
+
+Operational notes (the sharp edges, so callers don't rediscover them):
+
+- ``bucketBy`` requires ``saveAsTable`` (a catalog entry records the
+  layout); a plain ``parquet(path)`` write silently ignores it. We pass an
+  explicit ``path`` so the table is EXTERNAL — dropping the catalog entry
+  never deletes data, and a fresh session can re-register the same files.
+- both join sides need the SAME bucket count (Spark joins mismatched
+  counts by shuffling the smaller-bucketed side; 4.x can coalesce
+  compatible multiples when spark.sql.bucketing.coalesceBucketedTableScan
+  is on — don't rely on it, pick one count per key domain);
+- ``sortBy`` the bucket key too: sort-merge joins then skip the per-task
+  Sort as well (bucket files are written key-sorted);
+- one file per bucket per writing task — repartition by the bucket key
+  before writing or a wide input writes n_tasks x n_buckets small files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as an EXTERNAL bucketed parquet table: bucketed AND
+    sorted by ``bucket_cols``, pre-repartitioned on the key so each bucket
+    is one file per final task. The write pays the one shuffle every later
+    co-located join skips."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    (
+        df.repartition(n_buckets, *cols)
+        .write.bucketBy(n_buckets, cols[0], *cols[1:])
+        .sortBy(cols[0], *cols[1:])
+        .option("path", path)
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table THROUGH the catalog — ``spark.read.parquet``
+    on the files would lose the bucket metadata and re-shuffle on join."""
+    return spark.table(table)
+
+
+def is_exchange_free_join(joined: DataFrame) -> bool:
+    """True iff the physical plan contains no shuffle Exchange — the
+    co-location certificate the plan-guard test pins (BroadcastExchange
+    doesn't count: it's not a shuffle of either table)."""
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return not any(
+        line.lstrip().lstrip("+-:* ").startswith("Exchange")
+        for line in plan.splitlines()
+    )

@@ -1,0 +1,77 @@
+"""Bucketed-table co-located joins (sources/bucketed.py): the join of two
+tables bucketed on the same key/count must contain ZERO shuffle Exchange
+(the storage layout carries the partitioning), produce exactly the rows of
+the plain join, and the same join over non-bucketed parquet must show the
+Exchanges the bucketing removed — the negative control that proves the
+test measures bucketing, not a broadcast fallback."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from hmse_spark.sources import bucketed as B
+
+
+@pytest.fixture()
+def tables(spark, tmp_path):
+    # keep the planner honest: no broadcast fallback, so any co-location
+    # failure shows up as a real shuffle Exchange
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    tag = uuid.uuid4().hex[:8]
+    records = spark.range(5000).select(
+        F.concat(F.lit("sha_"), (F.col("id") % 700).cast("string")).alias("chunk_sha"),
+        F.col("id").alias("file_id"),
+    )
+    uniques = spark.range(700).select(
+        F.concat(F.lit("sha_"), F.col("id").cast("string")).alias("chunk_sha"),
+        (F.col("id") * 13).alias("store_offset"),
+    )
+    names = (f"recs_{tag}", f"uniq_{tag}")
+    B.write_bucketed(records, names[0], str(tmp_path / "recs"), "chunk_sha", 8)
+    B.write_bucketed(uniques, names[1], str(tmp_path / "uniq"), "chunk_sha", 8)
+    yield names, records, uniques
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_is_exchange_free_and_correct(spark, tables):
+    (recs_t, uniq_t), records, uniques = tables
+    recs = B.read_bucketed(spark, recs_t)
+    uniq = B.read_bucketed(spark, uniq_t)
+    joined = recs.join(uniq, "chunk_sha")
+    assert B.is_exchange_free_join(joined), (
+        joined._jdf.queryExecution().executedPlan().toString()
+    )
+    got = sorted(map(tuple, joined.collect()))
+    want = sorted(map(tuple, records.join(uniques, "chunk_sha").collect()))
+    assert got == want and len(got) == 5000
+
+
+def test_non_bucketed_control_shuffles(spark, tables, tmp_path):
+    # negative control: identical data as PLAIN parquet must shuffle
+    _, records, uniques = tables
+    p1, p2 = str(tmp_path / "plain1"), str(tmp_path / "plain2")
+    records.write.mode("overwrite").parquet(p1)
+    uniques.write.mode("overwrite").parquet(p2)
+    joined = spark.read.parquet(p1).join(spark.read.parquet(p2), "chunk_sha")
+    assert not B.is_exchange_free_join(joined)
+
+
+def test_bucketed_scan_reads_through_catalog(spark, tables):
+    # reading the FILES directly loses bucket metadata: the joins shuffle
+    # again — pinning why read_bucketed goes through the catalog
+    (recs_t, _), _, _ = tables
+    location = (
+        spark.sql(f"DESCRIBE FORMATTED {recs_t}")
+        .filter("col_name = 'Location'")
+        .first()["data_type"]
+    )
+    files_df = spark.read.parquet(location)
+    bucketed_df = B.read_bucketed(spark, recs_t)
+    j = files_df.join(bucketed_df.withColumnRenamed("file_id", "f2"), "chunk_sha")
+    assert not B.is_exchange_free_join(j)
