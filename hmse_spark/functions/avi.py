@@ -1,0 +1,170 @@
+"""MJPEG-in-AVI video codec, pure stdlib + the repo's own JPEG codec.
+
+Public design: the AVI RIFF form (Microsoft's published "AVI RIFF File
+Reference": RIFF('AVI ') -> LIST hdrl { avih, LIST strl { strh, strf } } ->
+LIST movi { '00dc' frame chunks } -> idx1), with each frame chunk a
+complete baseline JPEG ('MJPG' fourcc) decoded by functions/jpeg.py. This
+closes the "video codecs need ffmpeg" gap for the one mainstream video
+container that is self-contained: Motion-JPEG needs no inter-frame
+prediction, so a full spec-correct implementation fits in stdlib + the
+already-real T.81 codec. H.264 (inter-frame, CABAC) remains the documented
+stub.
+
+Every corruption/truncation path raises ValueError (the multimodal auto
+contract); frame count and per-frame pixel dimensions are capped before
+allocation (the decoder-DoS discipline from media/jpeg/gif)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from hmse_spark.functions import jpeg as _jpeg
+
+_MAX_FRAMES = 10_000  # DoS guard: a 16-byte header must not declare millions
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""  # RIFF chunks are word-aligned
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 10, quality: int = 85
+) -> bytes:
+    """uint8 frames (h, w, 3) or (h, w) -> AVI/MJPG bytes. All frames must
+    share one shape (the container declares a single stream format)."""
+    if not frames:
+        raise ValueError("MJPEG AVI needs at least one frame")
+    shape = frames[0].shape
+    if any(f.shape != shape for f in frames):
+        raise ValueError("all MJPEG frames must share one shape")
+    h, w = shape[0], shape[1]
+    jpegs = [_jpeg.encode_jpeg(f, quality=quality) for f in frames]
+    n = len(jpegs)
+    max_sz = max(len(j) for j in jpegs)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_sz * fps,      # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        0x10,              # dwFlags: AVIF_HASINDEX
+        n, 0, 1,           # dwTotalFrames, dwInitialFrames, dwStreams
+        max_sz,            # dwSuggestedBufferSize
+        w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIIi4h",
+            0, 0, 0,        # dwFlags, wPriority, wLanguage
+            0,              # dwInitialFrames
+            1, fps,         # dwScale, dwRate (rate/scale = fps)
+            0, n,           # dwStart, dwLength (frames)
+            max_sz,         # dwSuggestedBufferSize
+            0xFFFFFFFF,     # dwQuality (-1 = default)
+            0,              # dwSampleSize (0: one sample per chunk)
+            0, 0, w, h,     # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+
+    movi_payload = b"movi"
+    idx_entries = []
+    for j in jpegs:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx_entries.append((len(movi_payload) - 4, len(j)))
+        movi_payload += _chunk(b"00dc", j)
+    movi = _chunk(b"LIST", movi_payload)
+    idx1 = _chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, sz) for off, sz in idx_entries
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(data: bytes, every_n: int = 1) -> list[np.ndarray]:
+    """AVI/MJPG bytes -> list of decoded frames (every ``every_n``-th).
+    Raises ValueError on anything that is not a structurally sound
+    RIFF-AVI with JPEG '00dc'/'00db' frame chunks."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    riff_len = struct.unpack("<I", data[4:8])[0]
+    if 8 + riff_len > len(data):
+        raise ValueError("truncated AVI (RIFF length exceeds payload)")
+
+    frames: list[np.ndarray] = []
+    n_seen = 0
+    pos = 12
+    end = 8 + riff_len
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body_at = pos + 8
+        if body_at + size > end:
+            raise ValueError(f"truncated AVI chunk {fourcc!r}")
+        if fourcc == b"LIST" and data[body_at : body_at + 4] == b"movi":
+            sub = body_at + 4
+            sub_end = body_at + size
+            while sub + 8 <= sub_end:
+                sid = data[sub : sub + 4]
+                ssz = struct.unpack("<I", data[sub + 4 : sub + 8])[0]
+                if sub + 8 + ssz > sub_end:
+                    raise ValueError(f"truncated AVI movi chunk {sid!r}")
+                if sid[2:4] in (b"dc", b"db"):
+                    if n_seen >= _MAX_FRAMES:
+                        raise ValueError(
+                            f"AVI declares more than {_MAX_FRAMES} frames"
+                        )
+                    if n_seen % every_n == 0:
+                        frames.append(
+                            _jpeg.decode_jpeg(data[sub + 8 : sub + 8 + ssz])
+                        )
+                    n_seen += 1
+                sub += 8 + ssz + (ssz % 2)
+        pos = body_at + size + (size % 2)
+    if n_seen == 0:
+        raise ValueError("AVI contains no video frame chunks")
+    return frames
+
+
+def count_frames(data: bytes) -> int:
+    """Frame count from a structural walk (no pixel decode)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    n = 0
+    pos, end = 12, min(8 + struct.unpack("<I", data[4:8])[0], len(data))
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body_at = pos + 8
+        if fourcc == b"LIST" and data[body_at : body_at + 4] == b"movi":
+            sub = body_at + 4
+            sub_end = min(body_at + size, end)
+            while sub + 8 <= sub_end:
+                sid = data[sub : sub + 4]
+                ssz = struct.unpack("<I", data[sub + 4 : sub + 8])[0]
+                if sid[2:4] in (b"dc", b"db"):
+                    n += 1
+                sub += 8 + ssz + (ssz % 2)
+        pos = body_at + size + (size % 2)
+    return n

@@ -324,11 +324,14 @@ def _decoder(fn):
 # baseline JPEG (ITU-T T.81) and GIF (LZW) codecs live in their own
 # modules; re-exported here (error-normalized) so the multimodal
 # operators keep a single codec entry point
+from hmse_spark.functions import avi as _avi_mod  # noqa: E402
 from hmse_spark.functions import gif as _gif_mod  # noqa: E402
 from hmse_spark.functions import jpeg as _jpeg_mod  # noqa: E402
+from hmse_spark.functions.avi import encode_avi_mjpeg  # noqa: E402,F401
 from hmse_spark.functions.gif import encode_gif  # noqa: E402,F401
 from hmse_spark.functions.jpeg import encode_jpeg  # noqa: E402,F401
 
+decode_avi_mjpeg = _decoder(_avi_mod.decode_avi_mjpeg)
 decode_gif = _decoder(_gif_mod.decode_gif)
 decode_jpeg = _decoder(_jpeg_mod.decode_jpeg)
 decode_png = _decoder(decode_png)  # noqa: F811
@@ -352,6 +355,8 @@ def sniff(data: bytes) -> str | None:
         return "gif"
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return "wav"
+    if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+        return "avi"
     return None
 
 

@@ -18,7 +18,12 @@ fall back to a clearly-marked deterministic fake in ``auto`` mode
 (``decode_ok=False`` flags every fallback row) and raise in ``strict``
 mode. Swap a real library into functions/media.py and the plumbing —
 schema, partitioning, UDF signatures, batch shapes, byte accounting — is
-unchanged.
+unchanged. Round 6: MJPEG-in-AVI is REAL too (functions/avi.py — the AVI
+RIFF container with per-frame baseline JPEG, fully self-contained given
+the in-repo T.81 codec), so the video stratum now has real decode, real
+features (middle-frame signature), and real frame extraction
+(``sample_frames``); only inter-frame codecs (H.264) and MP3 remain the
+ffmpeg-blocked stub.
 
 decode modes: ``auto`` (real codec when the payload sniffs as a supported
 format, deterministic fake otherwise), ``strict`` (raise on any payload a
@@ -36,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hmse_spark.functions import avi as _avi
 from hmse_spark.functions import media
 
 ASSET_SCHEMA = (
@@ -52,10 +58,10 @@ _DECODE_MODES = ("auto", "strict", "deterministic_fake")
 
 
 def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic asset table. Image payloads are REAL PPM files and
-    audio payloads REAL PCM16 WAVs (decodable by functions/media.py);
-    video payloads are opaque bytes with an h264 codec tag — the stub
-    stratum, exercising the fallback path."""
+    """Deterministic asset table. Image payloads are REAL rotating-format
+    files (PPM/PNG/JPEG/GIF), audio REAL PCM16 WAVs, and HALF the video
+    stratum REAL MJPEG-in-AVI clips (r6); the other half keeps the opaque
+    h264 stub payloads so the fallback path stays exercised."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -99,6 +105,21 @@ def synthesize_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
             meta = {
                 "width": None, "height": None, "sample_rate": rate,
                 "duration_ms": int(n_samp * 1000 / rate), "codec": "pcm16_wav",
+            }
+        elif kind == "video" and (i // 3) % 2 == 0:
+            # REAL video stratum (r6): MJPEG-in-AVI, decodable end to end
+            # by functions/avi.py + the in-repo JPEG codec
+            w, h = int(rng.integers(24, 64)), int(rng.integers(24, 64))
+            fps = 10
+            n_frames = int(rng.integers(3, 9))
+            frames = [
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                for _ in range(n_frames)
+            ]
+            payload = media.encode_avi_mjpeg(frames, fps=fps)
+            meta = {
+                "width": w, "height": h, "sample_rate": None,
+                "duration_ms": int(n_frames * 1000 / fps), "codec": "mjpeg",
             }
         else:
             payload = rng.integers(
@@ -149,6 +170,12 @@ def _real_features(payload: bytes, dim: int, strict: bool) -> np.ndarray | None:
         if fmt == "wav":
             samples, rate = media.decode_wav(payload)
             return media.audio_features(samples, rate, dim)
+        if fmt == "avi":
+            # middle frame as the clip's visual signature (MJPEG: every
+            # frame is an independent JPEG)
+            n = _avi.count_frames(payload)
+            frames = media.decode_avi_mjpeg(payload, every_n=max(n // 2, 1))
+            return media.image_features(frames[1 if len(frames) > 1 else 0], dim)
     except (ValueError, EOFError, wave.Error, RuntimeError):
         if strict:
             raise
@@ -180,8 +207,8 @@ def extract_features(
                 if real is None and decode == "strict":
                     raise NotImplementedError(
                         "payload is not a supported format (netpbm/PNG/"
-                        "JPEG/GIF/PCM-WAV); H.264/MP3 codecs need ffmpeg, "
-                        "absent in this container"
+                        "JPEG/GIF/PCM-WAV/MJPEG-AVI); H.264/MP3 codecs "
+                        "need ffmpeg, absent in this container"
                     )
                 feats.append((real if real is not None else _fake_features(payload, dim)).tolist())
                 oks.append(real is not None)
@@ -298,6 +325,47 @@ def resize_images(
             )
 
     return assets.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame extraction (r6): decode every ``every_n``-th frame of each
+    MJPEG-AVI payload and emit one row per sampled frame with its shape and
+    pixel digest — the materialized counterpart of ``frame_sample_plan``'s
+    metadata-only plan. Non-AVI / undecodable payloads contribute no rows
+    (the near-dup operators own those semantics); the digest keeps the
+    output narrow so frame pixels never shuffle."""
+    import hashlib as _hl
+
+    out_schema = "asset_id long, frame_idx int, height int, width int, frame_sha string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hs, ws, shas = [], [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if media.sniff(payload) != "avi":
+                    continue
+                try:
+                    frames = media.decode_avi_mjpeg(payload, every_n=every_n)
+                except ValueError:
+                    continue
+                for k, fr in enumerate(frames):
+                    ids.append(int(aid))
+                    idxs.append(k * every_n)
+                    hs.append(int(fr.shape[0]))
+                    ws.append(int(fr.shape[1]))
+                    shas.append(_hl.sha256(fr.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "frame_sha": pd.array(shas, dtype="object"),
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, out_schema)
 
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:

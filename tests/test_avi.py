@@ -1,0 +1,102 @@
+"""MJPEG-in-AVI codec (functions/avi.py): round-trips through the in-repo
+JPEG codec, frame sampling, a hand-assembled spec-structure stream decoded
+independently of the encoder, loud rejection of corruption, and the
+multimodal wiring (real video features + real frame extraction, with the
+h264 stub stratum still exercising the fallback)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from hmse_spark.functions import avi, media
+
+
+def _frames(seed: int, n: int = 4, h: int = 24, w: int = 32):
+    rng = np.random.default_rng(seed)
+    # low-frequency content so JPEG error stays small
+    base = rng.integers(40, 200, size=(h // 8, w // 8, 3), dtype=np.uint8)
+    up = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
+    return [np.clip(up.astype(int) + 10 * k, 0, 255).astype(np.uint8) for k in range(n)]
+
+
+def test_avi_roundtrip_and_sampling():
+    frames = _frames(1, n=6)
+    data = avi.encode_avi_mjpeg(frames, fps=12, quality=90)
+    assert media.sniff(data) == "avi"
+    out = avi.decode_avi_mjpeg(data)
+    assert len(out) == 6 and avi.count_frames(data) == 6
+    for got, want in zip(out, frames):
+        assert got.shape == want.shape
+        assert float(np.abs(got.astype(int) - want.astype(int)).mean()) < 6.0
+    assert len(avi.decode_avi_mjpeg(data, every_n=3)) == 2
+
+
+def test_avi_grayscale_roundtrip():
+    frames = [f[:, :, 0] for f in _frames(2, n=3)]
+    out = avi.decode_avi_mjpeg(avi.encode_avi_mjpeg(frames))
+    assert len(out) == 3 and out[0].shape == frames[0].shape
+
+
+def test_avi_hand_assembled_spec_stream_decodes():
+    """A minimal RIFF-AVI assembled byte-by-byte from the published
+    structure (no encoder involved): RIFF('AVI ') -> LIST movi with one
+    '00dc' JPEG chunk. Headers are optional for the decoder's frame walk,
+    which follows the chunk grammar only."""
+    from hmse_spark.functions import jpeg
+
+    img = np.full((16, 16), 128, dtype=np.uint8)
+    j = jpeg.encode_jpeg(img)
+    pad = b"\x00" if len(j) % 2 else b""
+    movi_payload = b"movi" + b"00dc" + struct.pack("<I", len(j)) + j + pad
+    movi = b"LIST" + struct.pack("<I", len(movi_payload)) + movi_payload
+    body = b"AVI " + movi
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = avi.decode_avi_mjpeg(data)
+    assert len(out) == 1 and out[0].shape == (16, 16)
+    assert int(out[0].mean()) in range(126, 131)
+
+
+def test_avi_rejects_corruption_loudly():
+    data = avi.encode_avi_mjpeg(_frames(3, n=2))
+    with pytest.raises(ValueError, match="not an AVI"):
+        avi.decode_avi_mjpeg(b"RIFX" + data[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        avi.decode_avi_mjpeg(data[: len(data) // 2])
+    with pytest.raises(ValueError, match="no video frame"):
+        body = b"AVI "
+        avi.decode_avi_mjpeg(b"RIFF" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(ValueError):
+        avi.encode_avi_mjpeg([])
+    with pytest.raises(ValueError, match="shape"):
+        avi.encode_avi_mjpeg([np.zeros((8, 8), np.uint8), np.zeros((9, 8), np.uint8)])
+    # a corrupt embedded JPEG surfaces as ValueError (normalized chain)
+    bad = bytearray(data)
+    at = bytes(bad).index(b"\xff\xd8\xff")
+    bad[at + 2] = 0x00
+    with pytest.raises(ValueError):
+        media.decode_avi_mjpeg(bytes(bad))
+
+
+def test_multimodal_video_stratum_decodes_for_real(spark):
+    from hmse_spark.operators import multimodal
+
+    assets = multimodal.synthesize_assets(spark, n=48)
+    vids = assets.filter("kind = 'video'")
+    feats = multimodal.extract_features(vids, dim=8).collect()
+    by_codec = {}
+    metas = {r["asset_id"]: r["meta"]["codec"] for r in vids.collect()}
+    for r in feats:
+        by_codec.setdefault(metas[r["asset_id"]], []).append(r["decode_ok"])
+    assert all(by_codec["mjpeg"]), by_codec  # real stratum decodes
+    assert not any(by_codec["h264"]), by_codec  # stub stays a stub
+
+    sampled = multimodal.sample_frames(vids, every_n=2).collect()
+    n_mjpeg = sum(1 for c in metas.values() if c == "mjpeg")
+    assert {r["asset_id"] for r in sampled} == {
+        a for a, c in metas.items() if c == "mjpeg"
+    }
+    assert len(sampled) >= n_mjpeg  # >= 1 sampled frame per real clip
+    assert all(r["height"] > 0 and len(r["frame_sha"]) == 64 for r in sampled)

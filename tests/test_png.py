@@ -253,6 +253,16 @@ def test_synthesized_assets_include_decodable_png_stratum(spark):
     for r in feats:
         by_kind.setdefault(r["kind"], []).append(r["decode_ok"])
     assert all(by_kind["image"]) and all(by_kind["audio"])
-    assert not any(by_kind["video"])  # the honest stub stratum stays
+    # r6: the video stratum is SPLIT — MJPEG-AVI decodes for real, the
+    # h264-tagged stub stays an honest fake (decode_ok=False)
+    vid_codecs = {
+        r["asset_id"]: r["meta"]["codec"]
+        for r in assets.filter("kind='video'").collect()
+    }
+    vid_ok = {
+        r["asset_id"]: r["decode_ok"] for r in feats if r["kind"] == "video"
+    }
+    assert all(vid_ok[a] == (c == "mjpeg") for a, c in vid_codecs.items())
+    assert {"mjpeg", "h264"} == set(vid_codecs.values())
     codecs = {r["meta"]["codec"] for r in assets.filter("kind='image'").collect()}
     assert codecs == {"ppm", "png", "jpeg", "gif"}

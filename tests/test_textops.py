@@ -320,12 +320,17 @@ def test_multimodal_features(spark):
     assets = multimodal.synthesize_assets(spark, n=30)
     feats = multimodal.extract_features(assets, dim=16).collect()
     assert len(feats) == 30
+    codecs = {
+        r["asset_id"]: r["meta"]["codec"]
+        for r in assets.select("asset_id", "meta").collect()
+    }
     for r in feats:
         assert len(r["feature"]) == 16
         assert r["n_bytes"] > 0
-        # REAL decode for the self-contained formats (PPM images, PCM WAV
-        # audio); only the h264-tagged video stratum takes the fake path
-        assert r["decode_ok"] == (r["kind"] in ("image", "audio"))
+        # REAL decode for every self-contained format (images, PCM WAV,
+        # and since r6 the MJPEG-AVI video stratum); only h264-tagged
+        # payloads take the fake path
+        assert r["decode_ok"] == (codecs[r["asset_id"]] != "h264"), r
     # determinism
     feats2 = multimodal.extract_features(multimodal.synthesize_assets(spark, n=30), dim=16).collect()
     a = {r["asset_id"]: r["feature"] for r in feats}
@@ -334,13 +339,16 @@ def test_multimodal_features(spark):
 
 
 def test_multimodal_strict_stub_raises(spark):
-    assets = multimodal.synthesize_assets(spark, n=3)  # includes a video row
+    # n=6 includes BOTH video strata (r6): i=2 is the real MJPEG-AVI clip,
+    # i=5 the opaque h264 stub — strict must raise only because of the stub
+    assets = multimodal.synthesize_assets(spark, n=6)
     with pytest.raises(Exception):
         multimodal.extract_features(assets, decode="strict").collect()
-    # strict is fine on the decodable strata alone
-    ia = assets.filter("kind != 'video'")
+    # strict is fine on everything a real codec covers, MJPEG included
+    ia = assets.filter("kind != 'video' OR meta.codec = 'mjpeg'")
     rows = multimodal.extract_features(ia, decode="strict").collect()
     assert rows and all(r["decode_ok"] for r in rows)
+    assert any(r["kind"] == "video" for r in rows)
 
 
 def test_media_codecs_roundtrip():
