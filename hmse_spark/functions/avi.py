@@ -41,6 +41,8 @@ def encode_avi_mjpeg(
     share one shape (the container declares a single stream format)."""
     if not frames:
         raise ValueError("MJPEG AVI needs at least one frame")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
     shape = frames[0].shape
     if any(f.shape != shape for f in frames):
         raise ValueError("all MJPEG frames must share one shape")
@@ -86,8 +88,10 @@ def encode_avi_mjpeg(
     movi_payload = b"movi"
     idx_entries = []
     for j in jpegs:
-        # idx1 offsets are relative to the 'movi' fourcc position
-        idx_entries.append((len(movi_payload) - 4, len(j)))
+        # idx1 offsets are relative to the 'movi' fourcc position, so the
+        # first chunk HEADER sits at +4 (len(movi_payload) already counts
+        # the fourcc — r6 review caught the -4 off-by-one)
+        idx_entries.append((len(movi_payload), len(j)))
         movi_payload += _chunk(b"00dc", j)
     movi = _chunk(b"LIST", movi_payload)
     idx1 = _chunk(
@@ -100,22 +104,36 @@ def encode_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi_mjpeg(data: bytes, every_n: int = 1) -> list[np.ndarray]:
-    """AVI/MJPG bytes -> list of decoded frames (every ``every_n``-th).
-    Raises ValueError on anything that is not a structurally sound
-    RIFF-AVI with JPEG '00dc'/'00db' frame chunks."""
+def _frame_chunks(data: bytes) -> list[tuple[int, int]]:
+    """Strict shared walker (one grammar, used by decode/count/decode_frame
+    — r6 review: two hand-rolled walkers had already drifted): returns
+    (offset, size) of every video frame chunk ('..dc'/'..db'), descending
+    into 'rec ' LISTs (the spec's interleaved grouping). Raises ValueError
+    on structural corruption."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
-    if every_n < 1:
-        raise ValueError("every_n must be >= 1")
     riff_len = struct.unpack("<I", data[4:8])[0]
     if 8 + riff_len > len(data):
         raise ValueError("truncated AVI (RIFF length exceeds payload)")
 
-    frames: list[np.ndarray] = []
-    n_seen = 0
-    pos = 12
-    end = 8 + riff_len
+    frames: list[tuple[int, int]] = []
+
+    def walk_frames(at: int, end: int) -> None:
+        sub = at
+        while sub + 8 <= end:
+            sid = data[sub : sub + 4]
+            ssz = struct.unpack("<I", data[sub + 4 : sub + 8])[0]
+            if sub + 8 + ssz > end:
+                raise ValueError(f"truncated AVI movi chunk {sid!r}")
+            if sid == b"LIST" and data[sub + 8 : sub + 12] == b"rec ":
+                walk_frames(sub + 12, sub + 8 + ssz)
+            elif sid[2:4] in (b"dc", b"db"):
+                if len(frames) >= _MAX_FRAMES:
+                    raise ValueError(f"AVI declares more than {_MAX_FRAMES} frames")
+                frames.append((sub + 8, ssz))
+            sub += 8 + ssz + (ssz % 2)
+
+    pos, end = 12, 8 + riff_len
     while pos + 8 <= end:
         fourcc = data[pos : pos + 4]
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
@@ -123,48 +141,36 @@ def decode_avi_mjpeg(data: bytes, every_n: int = 1) -> list[np.ndarray]:
         if body_at + size > end:
             raise ValueError(f"truncated AVI chunk {fourcc!r}")
         if fourcc == b"LIST" and data[body_at : body_at + 4] == b"movi":
-            sub = body_at + 4
-            sub_end = body_at + size
-            while sub + 8 <= sub_end:
-                sid = data[sub : sub + 4]
-                ssz = struct.unpack("<I", data[sub + 4 : sub + 8])[0]
-                if sub + 8 + ssz > sub_end:
-                    raise ValueError(f"truncated AVI movi chunk {sid!r}")
-                if sid[2:4] in (b"dc", b"db"):
-                    if n_seen >= _MAX_FRAMES:
-                        raise ValueError(
-                            f"AVI declares more than {_MAX_FRAMES} frames"
-                        )
-                    if n_seen % every_n == 0:
-                        frames.append(
-                            _jpeg.decode_jpeg(data[sub + 8 : sub + 8 + ssz])
-                        )
-                    n_seen += 1
-                sub += 8 + ssz + (ssz % 2)
+            walk_frames(body_at + 4, body_at + size)
         pos = body_at + size + (size % 2)
-    if n_seen == 0:
+    if not frames:
         raise ValueError("AVI contains no video frame chunks")
     return frames
 
 
+def decode_avi_mjpeg(data: bytes, every_n: int = 1) -> list[np.ndarray]:
+    """AVI/MJPG bytes -> list of decoded frames (every ``every_n``-th).
+    Raises ValueError on anything that is not a structurally sound
+    RIFF-AVI with JPEG frame chunks (bare or 'rec '-interleaved)."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    chunks = _frame_chunks(data)
+    return [
+        _jpeg.decode_jpeg(data[off : off + sz])
+        for k, (off, sz) in enumerate(chunks)
+        if k % every_n == 0
+    ]
+
+
+def decode_frame(data: bytes, idx: int) -> np.ndarray:
+    """Decode exactly ONE frame by index (negative = from the end) — the
+    cheap path for single-frame signatures; only the chunk grammar is
+    walked, only the selected JPEG is decoded."""
+    chunks = _frame_chunks(data)
+    off, sz = chunks[idx]
+    return _jpeg.decode_jpeg(data[off : off + sz])
+
+
 def count_frames(data: bytes) -> int:
-    """Frame count from a structural walk (no pixel decode)."""
-    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
-        raise ValueError("not an AVI payload")
-    n = 0
-    pos, end = 12, min(8 + struct.unpack("<I", data[4:8])[0], len(data))
-    while pos + 8 <= end:
-        fourcc = data[pos : pos + 4]
-        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
-        body_at = pos + 8
-        if fourcc == b"LIST" and data[body_at : body_at + 4] == b"movi":
-            sub = body_at + 4
-            sub_end = min(body_at + size, end)
-            while sub + 8 <= sub_end:
-                sid = data[sub : sub + 4]
-                ssz = struct.unpack("<I", data[sub + 4 : sub + 8])[0]
-                if sid[2:4] in (b"dc", b"db"):
-                    n += 1
-                sub += 8 + ssz + (ssz % 2)
-        pos = body_at + size + (size % 2)
-    return n
+    """Frame count from the strict structural walk (no pixel decode)."""
+    return len(_frame_chunks(data))

@@ -9,8 +9,10 @@ gray / gray+alpha / palette / RGB / RGBA at bit depth 8), baseline JPEG
 (variable-width LZW — functions/gif.py, re-exported here). These are
 REAL codecs — bytes in, pixels/samples out, round-trip tested — so the
 multimodal pipeline's decode / resize / feature steps do real work for
-all of them; only video/perceptual-audio formats (H.264, MP3, ...)
-remain behind the documented stub (operators/multimodal.py).
+all of them. Round 6 adds real VIDEO for the self-contained case:
+MJPEG-in-AVI (functions/avi.py, re-exported here); only inter-frame
+video (H.264) and perceptual audio (MP3) remain behind the documented
+stub (operators/multimodal.py).
 
 Everything is deterministic and per-batch vectorized; these functions run
 inside Arrow ``mapInPandas`` workers. Every decode entry point is wrapped
@@ -332,6 +334,7 @@ from hmse_spark.functions.gif import encode_gif  # noqa: E402,F401
 from hmse_spark.functions.jpeg import encode_jpeg  # noqa: E402,F401
 
 decode_avi_mjpeg = _decoder(_avi_mod.decode_avi_mjpeg)
+decode_avi_frame = _decoder(_avi_mod.decode_frame)
 decode_gif = _decoder(_gif_mod.decode_gif)
 decode_jpeg = _decoder(_jpeg_mod.decode_jpeg)
 decode_png = _decoder(decode_png)  # noqa: F811
@@ -341,7 +344,7 @@ decode_wav = _decoder(decode_wav)  # noqa: F811
 
 def sniff(data: bytes) -> str | None:
     """Magic-number sniff: 'ppm' | 'pgm' | 'png' | 'jpg' | 'gif' | 'wav' |
-    None."""
+    'avi' | None."""
     head = bytes(data[:12])
     if head[:2] == b"P6":
         return "ppm"

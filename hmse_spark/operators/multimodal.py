@@ -172,10 +172,11 @@ def _real_features(payload: bytes, dim: int, strict: bool) -> np.ndarray | None:
             return media.audio_features(samples, rate, dim)
         if fmt == "avi":
             # middle frame as the clip's visual signature (MJPEG: every
-            # frame is an independent JPEG)
+            # frame is an independent JPEG) — decode exactly ONE frame,
+            # not an every_n sweep (r6 review: the sweep decoded 2-3
+            # frames to use one)
             n = _avi.count_frames(payload)
-            frames = media.decode_avi_mjpeg(payload, every_n=max(n // 2, 1))
-            return media.image_features(frames[1 if len(frames) > 1 else 0], dim)
+            return media.image_features(media.decode_avi_frame(payload, n // 2), dim)
     except (ValueError, EOFError, wave.Error, RuntimeError):
         if strict:
             raise
@@ -336,6 +337,11 @@ def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
     output narrow so frame pixels never shuffle."""
     import hashlib as _hl
 
+    if every_n < 1:
+        # validate HERE, not per payload inside the UDF: the undecodable-
+        # payload skip would otherwise eat the error and return an empty
+        # frame table for a caller parameter bug (r6 review)
+        raise ValueError("every_n must be >= 1")
     out_schema = "asset_id long, frame_idx int, height int, width int, frame_sha string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -59,6 +59,39 @@ def test_avi_hand_assembled_spec_stream_decodes():
     assert int(out[0].mean()) in range(126, 131)
 
 
+def test_avi_rec_interleaved_lists_decode():
+    """The spec's interleaved grouping: frames wrapped in LIST('rec ')
+    inside movi must decode identically to bare chunks (r6 review: the
+    first walker skipped rec lists entirely)."""
+    from hmse_spark.functions import jpeg
+
+    imgs = [np.full((16, 16), 60 * k + 40, dtype=np.uint8) for k in range(3)]
+    chunks = b""
+    for img in imgs:
+        j = jpeg.encode_jpeg(img)
+        chunks += b"00dc" + struct.pack("<I", len(j)) + j + (b"\x00" if len(j) % 2 else b"")
+    rec = b"rec " + chunks
+    movi_payload = b"movi" + b"LIST" + struct.pack("<I", len(rec)) + rec
+    movi = b"LIST" + struct.pack("<I", len(movi_payload)) + movi_payload
+    body = b"AVI " + movi
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = avi.decode_avi_mjpeg(data)
+    assert len(out) == 3 and avi.count_frames(data) == 3
+    assert avi.decode_frame(data, 1).shape == (16, 16)
+
+
+def test_avi_single_frame_decode_and_fps_validation():
+    frames = _frames(9, n=5)
+    data = avi.encode_avi_mjpeg(frames, fps=7)
+    mid = avi.decode_frame(data, 2)
+    assert np.array_equal(mid, avi.decode_avi_mjpeg(data)[2])
+    assert np.array_equal(avi.decode_frame(data, -1), avi.decode_avi_mjpeg(data)[-1])
+    with pytest.raises(ValueError, match="fps"):
+        avi.encode_avi_mjpeg(frames, fps=0)
+    with pytest.raises(ValueError, match="every_n"):
+        avi.decode_avi_mjpeg(data, every_n=0)
+
+
 def test_avi_rejects_corruption_loudly():
     data = avi.encode_avi_mjpeg(_frames(3, n=2))
     with pytest.raises(ValueError, match="not an AVI"):
