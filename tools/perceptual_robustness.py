@@ -1,0 +1,152 @@
+"""Robustness curves for the perceptual near-dup fingerprints: how many
+dHash / audiohash bits flip under realistic degradations, and what recall
+the banded operators' default max_hamming=7 threshold implies at each
+level. Kernel-level measurement (numpy, no Spark) in the BENCH/RECALL.md
+style — the oracled driver queries certify the DETERMINISTIC planted
+cases (lossless re-encode, exact amplitude scaling); this tool measures
+the probabilistic regime around them.
+
+Usage: python tools/perceptual_robustness.py [--n 200]
+Prints one JSON line per degradation level.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import os
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hmse_spark.functions import jpeg, media  # noqa: E402
+from hmse_spark.operators import audiohash, phash  # noqa: E402
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _smooth_image(rng, h=48, w=64):
+    base = rng.integers(30, 220, size=(h // 8, w // 8, 3), dtype=np.uint8)
+    return np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=61)
+    args = ap.parse_args(argv)
+    rng = np.random.default_rng(args.seed)
+
+    imgs = [_smooth_image(rng) for _ in range(args.n)]
+    base_h = [phash.dhash64(im) for im in imgs]
+    # inter-image separation floor (what a threshold must stay below)
+    inter = [
+        _ham(base_h[i], base_h[j])
+        for i in range(0, args.n, 7)
+        for j in range(i + 1, min(i + 4, args.n))
+    ]
+
+    rows = []
+    for q in (95, 85, 70, 50, 30):
+        d = [
+            _ham(h0, phash.dhash64(jpeg.decode_jpeg(jpeg.encode_jpeg(im, quality=q))))
+            for im, h0 in zip(imgs, base_h)
+        ]
+        rows.append(
+            {
+                "modality": "image",
+                "degradation": f"jpeg_q{q}",
+                "mean_hamming": round(float(np.mean(d)), 2),
+                "p95_hamming": int(np.percentile(d, 95)),
+                "max_hamming": int(max(d)),
+                "recall_at_7": round(float(np.mean([x <= 7 for x in d])), 4),
+            }
+        )
+    for sigma in (4, 8, 16, 32):
+        d = []
+        for im, h0 in zip(imgs, base_h):
+            noisy = np.clip(
+                im.astype(int) + rng.integers(-sigma, sigma + 1, size=im.shape),
+                0,
+                255,
+            ).astype(np.uint8)
+            d.append(_ham(h0, phash.dhash64(noisy)))
+        rows.append(
+            {
+                "modality": "image",
+                "degradation": f"uniform_noise_pm{sigma}",
+                "mean_hamming": round(float(np.mean(d)), 2),
+                "p95_hamming": int(np.percentile(d, 95)),
+                "max_hamming": int(max(d)),
+                "recall_at_7": round(float(np.mean([x <= 7 for x in d])), 4),
+            }
+        )
+
+    clips = [
+        (rng.integers(-8000, 8000, size=3000, dtype=np.int64) * 4).astype(np.int16)
+        for _ in range(args.n)
+    ]
+    base_a = [audiohash.audiohash64(c) for c in clips]
+    inter_a = [
+        _ham(base_a[i], base_a[j])
+        for i in range(0, args.n, 7)
+        for j in range(i + 1, min(i + 4, args.n))
+    ]
+    for sigma in (100, 500, 2000, 8000):
+        d = []
+        for c, h0 in zip(clips, base_a):
+            noisy = (
+                (c.astype(np.int64) + rng.integers(-sigma, sigma + 1, size=c.size))
+                .clip(-32768, 32767)
+                .astype(np.int16)
+            )
+            d.append(_ham(h0, audiohash.audiohash64(noisy)))
+        rows.append(
+            {
+                "modality": "audio",
+                "degradation": f"additive_noise_pm{sigma}",
+                "mean_hamming": round(float(np.mean(d)), 2),
+                "p95_hamming": int(np.percentile(d, 95)),
+                "max_hamming": int(max(d)),
+                "recall_at_7": round(float(np.mean([x <= 7 for x in d])), 4),
+            }
+        )
+    # WAV roundtrip (lossless container) must be exact
+    rt = [
+        _ham(h0, audiohash.audiohash64(media.decode_wav(media.encode_wav(c, 16000))[0]))
+        for c, h0 in zip(clips[:50], base_a[:50])
+    ]
+    rows.append(
+        {
+            "modality": "audio",
+            "degradation": "wav_roundtrip",
+            "mean_hamming": round(float(np.mean(rt)), 2),
+            "p95_hamming": int(np.percentile(rt, 95)),
+            "max_hamming": int(max(rt)),
+            "recall_at_7": round(float(np.mean([x <= 7 for x in rt])), 4),
+        }
+    )
+
+    for r in rows:
+        json.dump(r, sys.stdout)
+        print(flush=True)
+    json.dump(
+        {
+            "separation_floor": {
+                "image_inter_pair_min_hamming": int(min(inter)),
+                "image_inter_pair_mean": round(float(np.mean(inter)), 1),
+                "audio_inter_pair_min_hamming": int(min(inter_a)),
+                "audio_inter_pair_mean": round(float(np.mean(inter_a)), 1),
+            }
+        },
+        sys.stdout,
+    )
+    print(flush=True)
+
+
+if __name__ == "__main__":
+    main()
