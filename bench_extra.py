@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Round-7 optimization instrumentation (guide §1: measure first).
+
+NOT the driver bench — bench.py stays frozen. This tool isolates where the
+wall-clock of each headline bench query goes, stage by stage, by replaying
+the same pipeline construction sequence with a timer around every eager
+action (each stage is persisted exactly as in plans/pipeline.py, so the
+incremental cost of materializing stage N is N's own work). Two passes:
+cold (worker spin-up included) and warm (the regime bench.py's best-of-2
+actually measures).
+
+Usage: python bench_extra.py [near_dup|chunk|all]
+Prints one JSON line per phase: {"phase": ..., "sec": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from hmse_spark.config import DEFAULT
+    from hmse_spark.operators import connected_components as cc
+    from hmse_spark.operators import exact_dedup, lsh, simhash, suffix, verify
+    from hmse_spark.operators.fused import add_fused_signatures
+    from hmse_spark.runtime import ensure_on_executors, fan_out_small_input
+    from hmse_spark.session import build_session
+    from hmse_spark.sources.tables import documents_as_corpus
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "near_dup"
+    spark = build_session(
+        "hmse_bench_extra", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_on_executors(spark)
+
+    t_all = time.time()
+    phases: list[tuple[str, float]] = []
+
+    def timed(name: str, fn):
+        spark.sparkContext.setJobDescription(name)
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        phases.append((name, round(dt, 3)))
+        print(json.dumps({"phase": name, "sec": round(dt, 3)}), flush=True)
+        spark.sparkContext.setJobDescription(None)
+        return out
+
+    def near_dup_pass(tag: str) -> None:
+        cfg = DEFAULT
+        files = documents_as_corpus(spark, SF_DIR)
+        timed(f"{tag} warm: count corpus", files.count)
+
+        # ---- mirror run_near_dup_pipeline stage by stage ----
+        files_sha = exact_dedup.with_sha(files, "content", "file_sha")
+        files_meta = files_sha.select("file_id", "file_sha").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        index = exact_dedup.build_index(
+            files_meta, sha_col="file_sha", id_col="file_id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        reps_cached = files_sha.join(
+            index.select(F.col("canonical_id").alias("file_id")), "file_id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        timed(f"{tag} L3: files_meta+index+reps", reps_cached.count)
+
+        reps = fan_out_small_input(reps_cached, probe=files)
+        signatures = (
+            add_fused_signatures(reps, "content", cfg)
+            .select(
+                "file_id", "file_sha", "sig", "bands", "simhash", "sim_bands", "anchor_fps"
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        timed(f"{tag} L4: fused signatures", signatures.count)
+
+        band_df = lsh.explode_bands(signatures, "file_id")
+        probe_max = timed(
+            f"{tag} auto probe: max bucket",
+            lambda: lsh.bucket_sizes(band_df).agg(F.max("bucket_size")).first()[0],
+        )
+        print(json.dumps({"probe_max_bucket": probe_max}), flush=True)
+        annotated = lsh.annotate_bucket_sizes(band_df, strategy="window")
+        pairs_min = (
+            lsh.candidate_pairs(None, cfg, annotated=annotated)
+            .select("id_a", "id_b")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        timed(f"{tag} pairs: minhash", pairs_min.count)
+
+        sim_fp = signatures.select("file_id", "simhash", "sim_bands")
+        sim_cand = lsh.candidate_pairs(simhash.explode_sim_bands(sim_fp, "file_id"), cfg)
+        pairs_sim = (
+            simhash.verified_sim_pairs(sim_cand, sim_fp, "file_id", cfg)
+            .select("id_a", "id_b")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        timed(f"{tag} pairs: simhash", pairs_sim.count)
+
+        fps = signatures.select(
+            F.col("file_id").alias("uid"), F.explode("anchor_fps").alias("fp")
+        )
+        pairs_sub = (
+            suffix.anchor_pairs_from_fps(fps, cfg)
+            .select("id_a", "id_b")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        timed(f"{tag} pairs: substr", pairs_sub.count)
+
+        candidates = (
+            pairs_min.unionByName(pairs_sim)
+            .unionByName(pairs_sub)
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        timed(f"{tag} candidates: distinct", candidates.count)
+
+        verified = verify.exact_verified_pairs(
+            candidates, reps, "file_id", "content", cfg
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        timed(f"{tag} verify: exact jaccard", verified.count)
+
+        dup_edges = (
+            files_meta.join(index.select("file_sha", "canonical_id"), "file_sha")
+            .filter(F.col("file_id") != F.col("canonical_id"))
+            .select(
+                F.least("file_id", "canonical_id").alias("id_a"),
+                F.greatest("file_id", "canonical_id").alias("id_b"),
+            )
+        )
+        edges = verified.select("id_a", "id_b").unionByName(dup_edges).distinct()
+        labels = timed(
+            f"{tag} cc: connected components", lambda: cc.connected_components(edges)
+        )
+        timed(f"{tag} cc: labels count", labels.count)
+        clusters = cc.attach_singletons(labels, files_meta, "file_id")
+        timed(f"{tag} clusters: attach+count", clusters.count)
+
+    if which in ("near_dup", "all"):
+        near_dup_pass("cold")
+        spark.catalog.clearCache()
+        near_dup_pass("warm")
+
+    if which in ("chunk", "all"):
+        from hmse_spark.plans.chunkstore import build_chunk_store
+
+        for tag in ("cold", "warm"):
+            spark.catalog.clearCache()
+            timed(
+                f"{tag} chunk_store: full",
+                lambda: build_chunk_store(
+                    spark, documents_as_corpus(spark, SF_DIR)
+                ).metrics.collect(),
+            )
+
+    total = round(time.time() - t_all, 3)
+    print(
+        json.dumps(
+            {"phase": "TOTAL", "sec": total, "sum_phases": round(sum(s for _, s in phases), 3)}
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -125,16 +125,24 @@ def candidate_pairs(
     band_df: DataFrame,
     cfg: PipelineConfig = DEFAULT,
     annotated: DataFrame | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) from band collisions.
+    """Candidate pairs (id_a < id_b) from band collisions.
 
     Pass a pre-computed ``annotate_bucket_sizes`` result to share its single
     shuffle with other consumers (e.g. the capped-bucket report). AQE's
     skew-join split handles residual imbalance. ``cfg.skew_strategy``
     selects the oversized-bucket handling ("hub" star | "salt" groups).
+
+    ``dedup=False`` skips the final ``.distinct()`` (one full exchange of
+    the pair set): a pair colliding in several bands is then emitted once
+    per collision. Callers that already dedup downstream — the pipeline
+    unions three variants' pairs and distincts the union — should pass
+    False so the pair set crosses the network once, not twice (guide §2.4:
+    remove shuffles outright).
     """
     if cfg.skew_strategy == "salt":
-        return salted_candidate_pairs(band_df, cfg, annotated)
+        return salted_candidate_pairs(band_df, cfg, annotated, dedup)
     if annotated is None:
         annotated = annotate_bucket_sizes(band_df)
     annotated = annotated.filter(F.col("bucket_size") > 1)
@@ -164,18 +172,19 @@ def candidate_pairs(
         )
     )
 
-    return (
+    out = (
         small_pairs.select("id_a", "id_b")
         .unionByName(big_pairs)
         .unionByName(_salted_big_pairs(big_dense, cfg))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def salted_candidate_pairs(
     band_df: DataFrame,
     cfg: PipelineConfig = DEFAULT,
     annotated: DataFrame | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """Alternative oversized-bucket strategy: EXPLICIT SALTING instead of the
     hub star.
@@ -201,7 +210,8 @@ def salted_candidate_pairs(
     salted = _salted_big_pairs(
         annotated.filter(F.col("bucket_size") > cfg.max_bucket_size), cfg
     )
-    return small_pairs.select("id_a", "id_b").unionByName(salted).distinct()
+    out = small_pairs.select("id_a", "id_b").unionByName(salted)
+    return out.distinct() if dedup else out
 
 
 def _salted_big_pairs(big: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:

@@ -153,20 +153,27 @@ def build_chunk_store(
     )
 
     # ---- metrics -----------------------------------------------------------
-    # TWO eager jobs total (was four in r3): one agg over the records cache
+    # ONE eager job (was two in r6, four in r3): the records-cache agg
     # (stored bytes + delta count + the uid-collision check + n_unique) and
-    # one over the chunks cache (n_chunks + logical bytes — chunks partition
+    # the chunks-cache agg (n_chunks + logical bytes — chunks partition
     # every file, so sum(length) == sum(octet_length(content)) including
-    # empty/NULL files, which contribute 0 either way). coalesce the sums: an
-    # empty corpus yields zero records, where SUM() is NULL.
-    rec_row = records.agg(
+    # empty/NULL files, which contribute 0 either way) are both single-row
+    # aggregates, so a crossJoin fuses them into one 1x1-row combine and one
+    # scheduler round-trip. coalesce the sums: an empty corpus yields zero
+    # records, where SUM() is NULL.
+    rec_agg = records.agg(
         F.coalesce(F.sum("stored_len"), F.lit(0)).alias("stored"),
         F.coalesce(
             F.sum((F.col("kind") == delta_op.KIND_DELTA).cast("long")), F.lit(0)
         ).alias("n_delta"),
         F.count("*").alias("n"),
         F.countDistinct(F.xxhash64("chunk_sha")).alias("n_uid"),
-    ).first()
+    )
+    chunks_agg = chunks.agg(
+        F.count("*").alias("n_chunks"),
+        F.coalesce(F.sum("length"), F.lit(0)).alias("logical"),
+    )
+    rec_row = rec_agg.crossJoin(chunks_agg).first()
     stored, n_delta = int(rec_row["stored"]), int(rec_row["n_delta"])
     # chunk_uid = xxhash64(sha) must be collision-free as the CC node id —
     # at ~10^10 unique chunks 64-bit birthday collisions are expected (>1)
@@ -183,11 +190,7 @@ def build_chunk_store(
     # the records agg materialized every partition (cache filled); the unique
     # chunk bytes have no further consumer — release them
     uniq.unpersist()
-    chunks_row = chunks.agg(
-        F.count("*").alias("n_chunks"),
-        F.coalesce(F.sum("length"), F.lit(0)).alias("logical"),
-    ).first()
-    n_chunks, logical = int(chunks_row["n_chunks"]), int(chunks_row["logical"])
+    n_chunks, logical = int(rec_row["n_chunks"]), int(rec_row["logical"])
     n_unique = int(rec_row["n"])
     metrics = spark.createDataFrame(
         [

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Capture `.explain("formatted")` for the headline bench surfaces into
+plans/r07/<name>_<tag>.txt (round-7 optimization evidence).
+
+Usage: python tools/capture_plans_r07.py <tag> [name ...]
+  tag: 'before' | 'after'
+  names default to the full headline set.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:] or None
+
+    from hmse_spark.plans import queries as q
+    from hmse_spark.runtime import ensure_on_executors
+    from hmse_spark.session import build_session
+
+    spark = build_session(
+        "hmse_plans_r07", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_on_executors(spark)
+
+    out_dir = os.path.join(ROOT, "plans", "r07")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(name: str, df) -> None:
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(txt)
+        print(f"wrote {path} ({len(txt)} bytes)")
+
+    registry = q.queries()
+
+    surfaces: dict[str, object] = {}
+
+    def add_registry(name: str) -> None:
+        surfaces[name] = lambda n=name: registry[n](spark, SF_DIR)
+
+    def add_hotpath() -> None:
+        def build():
+            from hmse_spark.operators import lsh, minhash
+            from hmse_spark.sources.tables import documents_as_corpus
+
+            files = documents_as_corpus(spark, SF_DIR)
+            return lsh.explode_bands(minhash.add_signatures(files), "file_id")
+
+        surfaces["hotpath_sig"] = build
+
+    def add_chunk_store() -> None:
+        def build():
+            from hmse_spark.plans.chunkstore import build_chunk_store
+            from hmse_spark.sources.tables import documents_as_corpus
+
+            return build_chunk_store(
+                spark, documents_as_corpus(spark, SF_DIR)
+            ).records
+
+        surfaces["chunk_store_records"] = build
+
+    default = [
+        "exact_dup_groups",
+        "near_dup_clusters",
+        "hotpath_sig",
+        "chunk_store_records",
+    ]
+    add_hotpath()
+    add_chunk_store()
+    for n in registry:
+        if n not in surfaces:
+            add_registry(n)
+
+    for name in names or default:
+        df = surfaces[name]()
+        dump(name, df)
+        spark.catalog.clearCache()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
