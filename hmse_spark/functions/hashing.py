@@ -70,6 +70,40 @@ def mm3_u32_premixed(mixed: np.ndarray, seed: int) -> np.ndarray:
     return mm3_fmix(h)
 
 
+def mm3_u32_premixed_into(
+    mixed: np.ndarray, seed: int, h: np.ndarray, t: np.ndarray
+) -> np.ndarray:
+    """``mm3_u32_premixed`` with caller-provided scratch buffers ``h`` and
+    ``t`` (uint32, len >= len(mixed)) — ZERO allocations per call. The
+    128-seed MinHash tile loop calls this ~10^2 times per Arrow batch with
+    L2-resident tiles; the alloc-per-op of the expression form was measurable
+    allocator + memory-bandwidth overhead there (guide §1.2: per-task work).
+    Bit-identical to ``mm3_u32_premixed`` (pinned by tests/test_hashing.py).
+    Returns the filled prefix view h[:n]."""
+    n = mixed.size
+    h = h[:n]
+    t = t[:n]
+    with np.errstate(over="ignore"):
+        np.bitwise_xor(mixed, np.uint32(seed), out=h)
+        # rotl13
+        np.left_shift(h, np.uint32(13), out=t)
+        np.right_shift(h, np.uint32(19), out=h)
+        np.bitwise_or(t, h, out=h)
+        np.multiply(h, _M5, out=h)
+        np.add(h, _N, out=h)
+        np.bitwise_xor(h, np.uint32(4), out=h)  # total length = 4 bytes
+        # fmix
+        np.right_shift(h, np.uint32(16), out=t)
+        np.bitwise_xor(h, t, out=h)
+        np.multiply(h, _F1, out=h)
+        np.right_shift(h, np.uint32(13), out=t)
+        np.bitwise_xor(h, t, out=h)
+        np.multiply(h, _F2, out=h)
+        np.right_shift(h, np.uint32(16), out=t)
+        np.bitwise_xor(h, t, out=h)
+    return h
+
+
 def mm3_u32_blocks(blocks: np.ndarray, seed: int) -> np.ndarray:
     """MurmurHash3_x86_32 over multi-block keys, vectorized across rows.
 

@@ -119,3 +119,40 @@ def encode_clusters(
         return res
 
     return clustered_chunks.groupBy("cluster_id").applyInPandas(encode, RECORDS_SCHEMA)
+
+
+def encode_singletons(chunks_df: DataFrame) -> DataFrame:
+    """Store records for chunks that belong to NO near-dup cluster: always
+    kind='full', DEFLATE of the chunk bytes — byte-identical to what
+    ``encode_clusters`` produces for a single-member group, WITHOUT the
+    groupBy shuffle. Singletons are the overwhelming majority of unique
+    chunks (near-dup families are the exception), so routing them through
+    this narrow map keeps their payload bytes out of the cluster exchange
+    entirely (guide §8: only rows whose encoding depends on OTHER rows need
+    to be grouped).
+
+    Input: (chunk_sha, chunk_bytes). Output: RECORDS_SCHEMA rows.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<payload: binary, stored_len: long>")
+    def _deflate_rec(b: pd.Series) -> pd.DataFrame:
+        payloads = [deflate(bytes(x)) for x in b]
+        return pd.DataFrame(
+            {"payload": payloads, "stored_len": [len(p) for p in payloads]}
+        )
+
+    return chunks_df.select(
+        "chunk_sha",
+        F.lit(KIND_FULL).alias("kind"),
+        F.lit(None).cast("string").alias("base_sha"),
+        F.octet_length("chunk_bytes").cast("long").alias("orig_len"),
+        _deflate_rec(F.col("chunk_bytes")).alias("_r"),
+    ).select(
+        "chunk_sha",
+        "kind",
+        "base_sha",
+        "orig_len",
+        F.col("_r.stored_len").alias("stored_len"),
+        F.col("_r.payload").alias("payload"),
+    )

@@ -36,7 +36,11 @@ import numpy as np
 import pandas as pd
 
 from hmse_spark.config import DEFAULT, PipelineConfig
-from hmse_spark.functions.hashing import mm3_mix_k, mm3_u32_blocks, mm3_u32_premixed
+from hmse_spark.functions.hashing import (
+    mm3_mix_k,
+    mm3_u32_blocks,
+    mm3_u32_premixed_into,
+)
 from hmse_spark.functions.shingles import shingle_set_u32
 
 _EMPTY_SENTINEL = np.uint32(0xFFFFFFFF)
@@ -79,6 +83,10 @@ def minhash_batch(
     seeds = cfg.seeds
     total = flat.size
     sub = sig[nonempty]  # dense view copy; written back at the end
+    # scratch buffers reused by every (tile, seed) finalize — the loop body
+    # allocates nothing (hashing.mm3_u32_premixed_into)
+    _h = np.empty(min(_TILE, total), dtype=np.uint32)
+    _t = np.empty_like(_h)
     for t0 in range(0, total, _TILE):
         t1 = min(t0 + _TILE, total)
         m = mixed[t0:t1]
@@ -88,7 +96,7 @@ def minhash_batch(
         local = np.clip(starts[d0:d1], t0, t1 - 1) - t0
         local[0] = 0  # first overlapping doc starts mid-segment
         for j, seed in enumerate(seeds):
-            h = mm3_u32_premixed(m, seed)
+            h = mm3_u32_premixed_into(m, seed, _h, _t)
             mins = np.minimum.reduceat(h, local)
             np.minimum(sub[d0:d1, j], mins, out=sub[d0:d1, j])
     sig[nonempty] = sub

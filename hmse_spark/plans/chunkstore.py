@@ -133,23 +133,37 @@ def build_chunk_store(
         .select("chunk_uid", "chunk_sha", "sig", "bands")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pairs = lsh.candidate_pairs(lsh.explode_bands(sigs, "chunk_uid"), cfg)
+    # dedup=False: duplicate band collisions are rare for chunks (a dup pair
+    # needs a second full r=32-band match) and the est-Jaccard verify +
+    # connected components downstream are duplicate-tolerant, so the
+    # distinct's full exchange of the pair set buys nothing (guide §2.4)
+    pairs = lsh.candidate_pairs(lsh.explode_bands(sigs, "chunk_uid"), cfg, dedup=False)
     ver = verify.verified_pairs(pairs, sigs, "chunk_uid", cfg)
     labels = cc.connected_components(ver.select("id_a", "id_b"))
     # cc persisted + materialized the edge set in its size probe, so the sig
     # cache has no further consumer
     sigs.unpersist()
-    labels = cc.attach_singletons(labels, uniq, "chunk_uid").withColumnRenamed(
-        "uid", "chunk_uid"
-    )
-
-    clustered = uniq.join(labels, "chunk_uid").select(
+    # labels cover exactly the edge-connected chunks. Chunks outside any
+    # near-dup cluster — the overwhelming majority — are encoded by a NARROW
+    # per-row deflate (encode_singletons): their payload bytes never enter
+    # the label join or the per-cluster groupBy exchange. Only the near-dup
+    # families (small) shuffle by cluster_id for delta encoding (guide §8:
+    # move heavy bytes once, and only the bytes whose encoding needs other
+    # rows). encode_clusters on a single-member group produces the identical
+    # record, so the split is output-invariant (pinned by test_chunkstore).
+    edge_labels = labels.withColumnRenamed("uid", "chunk_uid")
+    clustered = uniq.join(edge_labels, "chunk_uid").select(
         "cluster_id", "chunk_uid", "chunk_sha", "chunk_bytes"
     )
+    singles = uniq.join(
+        edge_labels.select("chunk_uid"), "chunk_uid", "left_anti"
+    ).select("chunk_sha", "chunk_bytes")
 
     # ---- delta encode + L1 full compression -------------------------------
-    records = delta_op.encode_clusters(clustered, cfg).persist(
-        StorageLevel.MEMORY_AND_DISK
+    records = (
+        delta_op.encode_clusters(clustered, cfg)
+        .unionByName(delta_op.encode_singletons(singles))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # ---- metrics -----------------------------------------------------------

@@ -42,29 +42,6 @@ class PipelineResult:
     metrics: DataFrame | None = None  # one row of stage counts (with_metrics)
 
 
-def _input_bytes_upper_bound(files: DataFrame) -> int | None:
-    """Total on-disk bytes of the file-backed scans under ``files``, from the
-    driver's file listing only (NO Spark job). None when the plan has no
-    file source (in-memory relations) — callers must then treat the size as
-    unknown."""
-    import os
-
-    try:
-        paths = files.inputFiles()
-    except Exception:
-        return None
-    if not paths:
-        return None
-    total = 0
-    for p in paths:
-        p = p[len("file:"):] if p.startswith("file:") else p
-        try:
-            total += os.path.getsize(p)
-        except OSError:
-            return None
-    return total
-
-
 # Inputs smaller than this (compressed, on disk) never run the eager
 # max-bucket probe job of the "auto" bucket-size strategy: a band bucket
 # can hold at most one row per unique rep, and a corpus this small cannot
@@ -183,7 +160,9 @@ def run_near_dup_pipeline(
         strategy = cfg.bucket_size_strategy
         max_bucket = known_max_bucket
         if strategy == "auto" and max_bucket is None:
-            in_bytes = _input_bytes_upper_bound(files)
+            from hmse_spark.runtime import input_bytes_upper_bound
+
+            in_bytes = input_bytes_upper_bound(files)
             if in_bytes is not None and in_bytes < _PROBE_BYTES_THRESHOLD:
                 strategy = "window"
         minhash_annotated = lsh.annotate_bucket_sizes(

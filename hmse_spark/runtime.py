@@ -66,26 +66,76 @@ def ensure_on_executors(spark: SparkSession) -> None:
 
 
 def fan_out_small_input(df, min_parts: int | None = None, probe=None):
-    """Spread a low-partition-count DataFrame across the cluster before a
-    UDF-heavy stage.
+    """Right-size a DataFrame's partition count before a UDF-heavy stage.
 
-    A small corpus read from one parquet file arrives as ONE scan partition
-    (spark.sql.files.maxPartitionBytes) — and AQE additionally coalesces
-    small post-join outputs to one partition — which serializes the entire
-    Arrow signature hot path onto a single core: measured 11.5 s -> ~1.5 s
-    at sf0.1 on local[32]. At production scale the input already has far
-    more partitions than cores, the guard is false, and NO shuffle is added.
+    Two small-input pathologies, both no-ops at production scale:
 
-    ``probe``: the DataFrame whose partition count to inspect (default
-    ``df``). Probing an un-materialized join under AQE EXECUTES its shuffle
-    map stages just to finalize the plan; pass the raw source scan instead —
-    its partition count is static (file listing only, no job) and is the
-    same small-corpus signal.
+    - TOO FEW partitions: a small corpus read from one parquet file arrives
+      as ONE scan partition (spark.sql.files.maxPartitionBytes) — and AQE
+      additionally coalesces small post-join outputs to one partition —
+      which serializes the entire Arrow signature hot path onto a single
+      core: measured 11.5 s -> ~1.5 s at sf0.1 on local[32]. Fixed by a
+      repartition up to ``min_parts`` (defaultParallelism).
+    - TOO MANY partitions for the bytes they carry: a small corpus arriving
+      pre-split into hundreds of slivers pays the per-task Python-runner
+      round-trip per sliver (measured ~8 ms/task serialized on local[32] —
+      128 slivers of a 18 MB corpus cost ~1 s of pure task overhead in the
+      signature stage). Fixed by a shuffle-FREE ``coalesce`` down to a
+      size-derived target (bytes / _COALESCE_TARGET_BYTES, floored at
+      min_parts), guide §2.2: fewer, larger tasks. Only fires when the
+      driver-side file listing proves the input small (same no-job probe as
+      the pipeline's bucket-strategy heuristic); with unknown bytes or real
+      data volumes the partitioning is left exactly as the source chose.
+
+    ``probe``: the DataFrame whose partition count/bytes to inspect
+    (default ``df``). Probing an un-materialized join under AQE EXECUTES
+    its shuffle map stages just to finalize the plan; pass the raw source
+    scan instead — its partition count is static (file listing only, no
+    job) and is the same small-corpus signal.
     """
     spark = df.sparkSession
     if min_parts is None:
         min_parts = spark.sparkContext.defaultParallelism
     src = probe if probe is not None else df
-    if src.rdd.getNumPartitions() < min_parts:
+    cur = src.rdd.getNumPartitions()
+    if cur < min_parts:
         return df.repartition(min_parts)
+    if cur > min_parts:
+        in_bytes = input_bytes_upper_bound(src)
+        if in_bytes is not None:
+            target = max(min_parts, -(-in_bytes // _COALESCE_TARGET_BYTES))
+            if target < cur:
+                return df.coalesce(target)
     return df
+
+
+def input_bytes_upper_bound(df) -> int | None:
+    """Total on-disk bytes of the file-backed scans under ``df``, from the
+    driver's file listing only (NO Spark job). None when the plan has no
+    file source (in-memory relations) — callers must then treat the size
+    as unknown."""
+    try:
+        paths = df.inputFiles()
+    except Exception:
+        return None
+    if not paths:
+        return None
+    total = 0
+    for p in paths:
+        p = p[len("file:"):] if p.startswith("file:") else p
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+# Per-partition byte goal for the shuffle-free coalesce above: compressed
+# input bytes per UDF task. 2 MiB compressed (~6-8 MiB raw text) keeps one
+# Arrow batch sequence per task well past the point where the ~8 ms/task
+# runner overhead is amortized, while staying far under the 128 MiB scan
+# split production inputs arrive with (so the guard can only LOWER a
+# pathological sliver count, never coarsen a healthy layout).
+_COALESCE_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_COALESCE_BYTES", str(2 << 20))
+)

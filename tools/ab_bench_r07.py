@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Interleaved A/B bench harness (round 7): alternates full bench.py runs
+between two trees (A = a worktree pinned at the round-start commit,
+B = the current tree) so host drift hits both sides equally — the same
+methodology the round-6 judge used to adjudicate host weather.
+
+Usage: python tools/ab_bench_r07.py [n_pairs] [a_dir] [b_dir]
+Writes one JSON line per run to stdout and a summary at the end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+A_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/r07_before"
+B_DIR = sys.argv[3] if len(sys.argv) > 3 else "/root/repo"
+N_PAIRS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+
+ENV = dict(
+    os.environ,
+    SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+)
+
+
+def run_one(tree: str) -> dict | None:
+    p = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=tree,
+        env=ENV,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    for line in reversed(p.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main() -> None:
+    results: dict[str, list[dict]] = {"A": [], "B": []}
+    for i in range(N_PAIRS):
+        for label, tree in (("A", A_DIR), ("B", B_DIR)):
+            t0 = time.time()
+            r = run_one(tree)
+            wall = round(time.time() - t0, 1)
+            if r is None:
+                print(json.dumps({"pair": i, "side": label, "error": "no json"}))
+                continue
+            results[label].append(r)
+            print(
+                json.dumps(
+                    {
+                        "pair": i,
+                        "side": label,
+                        "total": r["value"],
+                        "queries": r["queries"],
+                        "wall": wall,
+                    }
+                ),
+                flush=True,
+            )
+    summary: dict = {}
+    for label in ("A", "B"):
+        runs = results[label]
+        if not runs:
+            continue
+        qnames = runs[0]["queries"].keys()
+        summary[label] = {
+            "totals": [r["value"] for r in runs],
+            "per_query_min": {
+                q: round(min(r["queries"][q] for r in runs), 3) for q in qnames
+            },
+            "per_query_median": {
+                q: round(sorted(r["queries"][q] for r in runs)[len(runs) // 2], 3)
+                for q in qnames
+            },
+        }
+    print(json.dumps({"summary": summary}))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,28 @@ def main() -> None:
 
         surfaces["chunk_store_records"] = build
 
+    def add_pipeline_internals() -> None:
+        """The near-dup pipeline's interesting plan shapes live in the
+        intermediate frames (the returned clusters frame is just the
+        attach-singletons join once CC has run eagerly)."""
+        from hmse_spark.plans.pipeline import run_near_dup_pipeline
+        from hmse_spark.sources.tables import documents_as_corpus
+
+        cache: dict[str, object] = {}
+
+        def res():
+            if "r" not in cache:
+                cache["r"] = run_near_dup_pipeline(
+                    spark, documents_as_corpus(spark, SF_DIR), with_metrics=False
+                )
+            return cache["r"]
+
+        surfaces["pipeline_signatures"] = lambda: res().signatures
+        surfaces["pipeline_candidates"] = lambda: res().candidate_pairs
+        surfaces["pipeline_verified"] = lambda: res().verified_pairs
+
+    add_pipeline_internals()
+
     default = [
         "exact_dup_groups",
         "near_dup_clusters",
