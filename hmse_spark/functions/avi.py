@@ -23,6 +23,11 @@ import numpy as np
 from hmse_spark.functions import jpeg as _jpeg
 
 _MAX_FRAMES = 10_000  # DoS guard: a 16-byte header must not declare millions
+# aggregate decoded-pixel budget per decode_avi_mjpeg call: 4x the single-
+# frame cap — generous for real sampling workloads (sample_frames decodes a
+# handful of frames), tiny beside the frames x 64 Mpx worst case the
+# independent per-frame/per-count caps would otherwise admit (r6 ADVICE)
+_MAX_TOTAL_PIXELS = 4 * (1 << 26)
 
 
 def _chunk(fourcc: bytes, payload: bytes) -> bytes:
@@ -151,15 +156,31 @@ def _frame_chunks(data: bytes) -> list[tuple[int, int]]:
 def decode_avi_mjpeg(data: bytes, every_n: int = 1) -> list[np.ndarray]:
     """AVI/MJPG bytes -> list of decoded frames (every ``every_n``-th).
     Raises ValueError on anything that is not a structurally sound
-    RIFF-AVI with JPEG frame chunks (bare or 'rec '-interleaved)."""
+    RIFF-AVI with JPEG frame chunks (bare or 'rec '-interleaved).
+
+    DoS discipline: besides the per-call frame cap (_MAX_FRAMES) and the
+    per-frame pixel cap (the JPEG decoder's 64 Mpx pre-allocation guard),
+    the ACCUMULATED decoded pixels across frames are budgeted at
+    _MAX_TOTAL_PIXELS — without it, a crafted AVI of many large valid
+    frames could demand hundreds of gigapixels of frame buffers in one
+    call even though every individual guard passes (r6 ADVICE)."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
     chunks = _frame_chunks(data)
-    return [
-        _jpeg.decode_jpeg(data[off : off + sz])
-        for k, (off, sz) in enumerate(chunks)
-        if k % every_n == 0
-    ]
+    out: list[np.ndarray] = []
+    total_px = 0
+    for k, (off, sz) in enumerate(chunks):
+        if k % every_n != 0:
+            continue
+        frame = _jpeg.decode_jpeg(data[off : off + sz])
+        total_px += frame.shape[0] * frame.shape[1]
+        if total_px > _MAX_TOTAL_PIXELS:
+            raise ValueError(
+                f"AVI decode exceeds the total pixel budget "
+                f"({total_px} > {_MAX_TOTAL_PIXELS} across frames)"
+            )
+        out.append(frame)
+    return out
 
 
 def decode_frame(data: bytes, idx: int) -> np.ndarray:

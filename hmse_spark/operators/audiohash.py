@@ -166,13 +166,20 @@ def audio_near_dup_pairs(
         .select(id_col, F.col("ahash").alias("dhash"))
         .persist()
     )
-    band_df = explode_dhash_bands(hashed, id_col, n_bands)
+    band_df = explode_dhash_bands(hashed, id_col, n_bands, carry_fp=True)
+    # num_bands deliberately stays 4 so the 8 fingerprint bands ride the
+    # dense-band SALT branch for oversized buckets — this operator outputs
+    # PAIRS, so a hub star's elided member-member edges would be missing
+    # results; see the identical note in phash.image_near_dup_pairs (r6
+    # ADVICE: the reliance is documented, not accidental)
     cfg = dataclasses.replace(DEFAULT, max_bucket_size=max_bucket_size)
-    cands = lsh.candidate_pairs(band_df, cfg)
-    fps = hashed.withColumnRenamed("dhash", "simhash")
-    cfg_h = dataclasses.replace(cfg, simhash_max_hamming=max_hamming)
-    out = simhash.verified_sim_pairs(cands, fps, id_col, cfg_h).select(
-        "id_a", "id_b", "hamming"
+    # r7: fingerprint carried as a candidate_pairs payload, Hamming verified
+    # inline — see phash.image_near_dup_pairs
+    cands = lsh.candidate_pairs(band_df, cfg, payload_cols=("dhash",))
+    out = (
+        cands.withColumn("hamming", simhash.hamming_col("dhash_a", "dhash_b"))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
     )
     out._hmse_gram_cache = hashed
     out._hmse_gram_finalizer = weakref.finalize(out, _safe_unpersist, hashed)

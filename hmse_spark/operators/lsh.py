@@ -121,11 +121,35 @@ def annotate_bucket_sizes(
     return band_df.withColumn("bucket_size", F.count("*").over(w))
 
 
+def _pair_cols(payload_cols: tuple[str, ...]) -> list[str]:
+    out = ["id_a", "id_b"]
+    for c in payload_cols:
+        out += [f"{c}_a", f"{c}_b"]
+    return out
+
+
+def _oriented_pair(
+    uid_a, uid_b, payload_cols: tuple[str, ...], payload_a: dict, payload_b: dict
+) -> list:
+    """Select-list for a pair with id_a = least(uid_a, uid_b): payload
+    columns follow their uid through the orientation swap."""
+    fwd = uid_a < uid_b
+    cols = [
+        F.least(uid_a, uid_b).alias("id_a"),
+        F.greatest(uid_a, uid_b).alias("id_b"),
+    ]
+    for c in payload_cols:
+        cols.append(F.when(fwd, payload_a[c]).otherwise(payload_b[c]).alias(f"{c}_a"))
+        cols.append(F.when(fwd, payload_b[c]).otherwise(payload_a[c]).alias(f"{c}_b"))
+    return cols
+
+
 def candidate_pairs(
     band_df: DataFrame,
     cfg: PipelineConfig = DEFAULT,
     annotated: DataFrame | None = None,
     dedup: bool = True,
+    payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) from band collisions.
 
@@ -140,17 +164,31 @@ def candidate_pairs(
     unions three variants' pairs and distincts the union — should pass
     False so the pair set crosses the network once, not twice (guide §2.4:
     remove shuffles outright).
+
+    ``payload_cols``: extra band_df columns to CARRY THROUGH to the output
+    as ``<c>_a``/``<c>_b`` (r7). For small per-unit fingerprints (the
+    8-byte SimHash/dHash), carrying the payload through the band self-join
+    lets the verifier filter INLINE instead of joining the fingerprint
+    table back per pair — two shuffle joins of the pair set removed for
+    +8 bytes per band row (guide §2.3: shuffle keys and metadata instead
+    of payloads; §8's re-attach audit). Payloads must be functionally
+    determined by uid (same uid -> same payload on every row).
     """
     if cfg.skew_strategy == "salt":
-        return salted_candidate_pairs(band_df, cfg, annotated, dedup)
+        return salted_candidate_pairs(band_df, cfg, annotated, dedup, payload_cols)
     if annotated is None:
         annotated = annotate_bucket_sizes(band_df)
     annotated = annotated.filter(F.col("bucket_size") > 1)
+    keys = ["band_id", "band_hash"]
 
     small = annotated.filter(F.col("bucket_size") <= cfg.max_bucket_size)
-    a = small.select("band_id", "band_hash", F.col("uid").alias("id_a"))
-    b = small.select("band_id", "band_hash", F.col("uid").alias("id_b"))
-    small_pairs = a.join(b, ["band_id", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
+    a = small.select(
+        *keys, F.col("uid").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in payload_cols]
+    )
+    b = small.select(
+        *keys, F.col("uid").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in payload_cols]
+    )
+    small_pairs = a.join(b, keys).filter(F.col("id_a") < F.col("id_b"))
 
     big = annotated.filter(F.col("bucket_size") > cfg.max_bucket_size)
     # the hub star's soundness argument is r=32 purity (bucket membership
@@ -162,20 +200,31 @@ def candidate_pairs(
     # which keeps within-group direct pairs.
     big_main = big.filter(F.col("band_id") < cfg.num_bands)
     big_dense = big.filter(F.col("band_id") >= cfg.num_bands)
-    hubs = big_main.groupBy("band_id", "band_hash").agg(F.min("uid").alias("hub"))
+    # min over (uid, payloads...) structs orders by uid first (uids are
+    # unique), so the hub is the same min-uid member as before, now with
+    # its payload attached for free inside the same aggregate
+    hubs = big_main.groupBy(*keys).agg(
+        F.min(F.struct(F.col("uid"), *[F.col(c) for c in payload_cols])).alias("_hub")
+    )
     big_pairs = (
-        big_main.join(hubs, ["band_id", "band_hash"])
-        .filter(F.col("uid") != F.col("hub"))
+        big_main.join(hubs, keys)
+        .filter(F.col("uid") != F.col("_hub.uid"))
         .select(
-            F.least("uid", "hub").alias("id_a"),
-            F.greatest("uid", "hub").alias("id_b"),
+            *_oriented_pair(
+                F.col("uid"),
+                F.col("_hub.uid"),
+                payload_cols,
+                {c: F.col(c) for c in payload_cols},
+                {c: F.col(f"_hub.{c}") for c in payload_cols},
+            )
         )
     )
 
+    cols = _pair_cols(payload_cols)
     out = (
-        small_pairs.select("id_a", "id_b")
+        small_pairs.select(*cols)
         .unionByName(big_pairs)
-        .unionByName(_salted_big_pairs(big_dense, cfg))
+        .unionByName(_salted_big_pairs(big_dense, cfg, payload_cols))
     )
     return out.distinct() if dedup else out
 
@@ -185,6 +234,7 @@ def salted_candidate_pairs(
     cfg: PipelineConfig = DEFAULT,
     annotated: DataFrame | None = None,
     dedup: bool = True,
+    payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Alternative oversized-bucket strategy: EXPLICIT SALTING instead of the
     hub star.
@@ -201,26 +251,36 @@ def salted_candidate_pairs(
     if annotated is None:
         annotated = annotate_bucket_sizes(band_df)
     annotated = annotated.filter(F.col("bucket_size") > 1)
+    keys = ["band_id", "band_hash"]
 
     small = annotated.filter(F.col("bucket_size") <= cfg.max_bucket_size)
-    a = small.select("band_id", "band_hash", F.col("uid").alias("id_a"))
-    b = small.select("band_id", "band_hash", F.col("uid").alias("id_b"))
-    small_pairs = a.join(b, ["band_id", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
+    a = small.select(
+        *keys, F.col("uid").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in payload_cols]
+    )
+    b = small.select(
+        *keys, F.col("uid").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in payload_cols]
+    )
+    small_pairs = a.join(b, keys).filter(F.col("id_a") < F.col("id_b"))
 
     salted = _salted_big_pairs(
-        annotated.filter(F.col("bucket_size") > cfg.max_bucket_size), cfg
+        annotated.filter(F.col("bucket_size") > cfg.max_bucket_size), cfg, payload_cols
     )
-    out = small_pairs.select("id_a", "id_b").unionByName(salted)
+    out = small_pairs.select(*_pair_cols(payload_cols)).unionByName(salted)
     return out.distinct() if dedup else out
 
 
-def _salted_big_pairs(big: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+def _salted_big_pairs(
+    big: DataFrame,
+    cfg: PipelineConfig = DEFAULT,
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Salted pair generation over OVERSIZED buckets: within-salt-group
     direct pairs + group-min -> bucket-min links (one connected component
     per bucket). The bucket key is folded into the salt hash: a uid-only
     salt would put a uid into the same group in EVERY band (n_groups being
     equal), so a pair split by the cap in one band would be split in all
     bands and the b-band redundancy could never rescue it."""
+    keys = ["band_id", "band_hash"]
     big = big.withColumn(
         "salt",
         F.pmod(
@@ -228,21 +288,37 @@ def _salted_big_pairs(big: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFram
             F.ceil(F.col("bucket_size") / F.lit(cfg.max_bucket_size)).cast("long"),
         ),
     )
-    sa = big.select("band_id", "band_hash", "salt", F.col("uid").alias("id_a"))
-    sb = big.select("band_id", "band_hash", "salt", F.col("uid").alias("id_b"))
-    salted_within = sa.join(sb, ["band_id", "band_hash", "salt"]).filter(
-        F.col("id_a") < F.col("id_b")
+    sa = big.select(
+        *keys, "salt", F.col("uid").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
     )
-    group_min = big.groupBy("band_id", "band_hash", "salt").agg(F.min("uid").alias("gmin"))
-    bucket_min = big.groupBy("band_id", "band_hash").agg(F.min("uid").alias("bmin"))
+    sb = big.select(
+        *keys, "salt", F.col("uid").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+    )
+    salted_within = sa.join(sb, [*keys, "salt"]).filter(F.col("id_a") < F.col("id_b"))
+    # struct mins order by uid first (unique), so gmin/bmin are the same
+    # members as before, payloads attached inside the same aggregates
+    group_min = big.groupBy(*keys, "salt").agg(
+        F.min(F.struct(F.col("uid"), *[F.col(c) for c in payload_cols])).alias("_g")
+    )
+    bucket_min = big.groupBy(*keys).agg(
+        F.min(F.struct(F.col("uid"), *[F.col(c) for c in payload_cols])).alias("_b")
+    )
     links = (
-        group_min.join(bucket_min, ["band_id", "band_hash"])
-        .filter(F.col("gmin") != F.col("bmin"))
+        group_min.join(bucket_min, keys)
+        .filter(F.col("_g.uid") != F.col("_b.uid"))
         .select(
-            F.least("gmin", "bmin").alias("id_a"), F.greatest("gmin", "bmin").alias("id_b")
+            *_oriented_pair(
+                F.col("_g.uid"),
+                F.col("_b.uid"),
+                payload_cols,
+                {c: F.col(f"_g.{c}") for c in payload_cols},
+                {c: F.col(f"_b.{c}") for c in payload_cols},
+            )
         )
     )
-    return salted_within.select("id_a", "id_b").unionByName(links)
+    return salted_within.select(*_pair_cols(payload_cols)).unionByName(links)
 
 
 def capped_bucket_report(

@@ -155,14 +155,16 @@ def add_dhash(assets: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def explode_dhash_bands(
-    df: DataFrame, id_col: str = "asset_id", n_bands: int = 8
+    df: DataFrame, id_col: str = "asset_id", n_bands: int = 8, carry_fp: bool = False
 ) -> DataFrame:
     """(uid, band_id, band_hash) from the 64-bit dHash: n_bands slices of
     64/n_bands bits. Two hashes within Hamming distance n_bands-1 share at
     least one exact band (pigeonhole) — 8 bands cover distance <= 7.
     Band values are tagged with the band index downstream via band_id
     (same convention as simhash.explode_sim_bands). NULL-hash rows
-    (undecodable) are excluded — they have no similarity semantics."""
+    (undecodable) are excluded — they have no similarity semantics.
+    ``carry_fp`` additionally keeps the dhash column on every band row so
+    candidate_pairs can carry it as a payload (inline Hamming verify)."""
     width = 64 // n_bands
     mask = (1 << width) - 1
     bands = F.array(
@@ -171,9 +173,12 @@ def explode_dhash_bands(
             for b in range(n_bands)
         ]
     )
+    cols = [F.col(id_col).alias("uid")]
+    if carry_fp:
+        cols.append(F.col("dhash"))
     return (
         df.filter(F.col("dhash").isNotNull())
-        .select(F.col(id_col).alias("uid"), F.posexplode(bands).alias("band_id", "band_hash"))
+        .select(*cols, F.posexplode(bands).alias("band_id", "band_hash"))
     )
 
 
@@ -209,13 +214,32 @@ def image_near_dup_pairs(
     # before the derived plan runs (the r6 review's q_image_near_dups
     # finding).
     hashed = add_dhash(assets, payload_col).select(id_col, "dhash").persist()
-    band_df = explode_dhash_bands(hashed, id_col, n_bands)
+    band_df = explode_dhash_bands(hashed, id_col, n_bands, carry_fp=True)
+    # cfg.num_bands stays at the MinHash default (4) while n_bands=8 dHash
+    # bands exist, so band ids 4..7 deliberately fall into candidate_pairs'
+    # "dense band" branch: an OVERSIZED bucket in those bands takes the salt
+    # split (within-group direct pairs preserved), never the hub star. That
+    # reliance is intentional, not accidental (r6 ADVICE): this operator's
+    # OUTPUT is pairs — not connected components — so a hub star's elided
+    # member-member edges would be silently MISSING pairs here, where in the
+    # clustering pipeline CC recovers them as one component. Buckets in
+    # bands 0..3 would take the hub star above max_bucket_size instead —
+    # the 1M default keeps that regime out of reach below ~10^8 corpus
+    # images per 8-bit band value; a deployment near that scale should pass
+    # num_bands=n_bands (all bands salted) rather than raise the cap.
     cfg = dataclasses.replace(DEFAULT, max_bucket_size=max_bucket_size)
-    cands = lsh.candidate_pairs(band_df, cfg)
-    fps = hashed.withColumnRenamed("dhash", "simhash")
-    cfg_h = dataclasses.replace(cfg, simhash_max_hamming=max_hamming)
-    out = simhash.verified_sim_pairs(cands, fps, id_col, cfg_h).select(
-        "id_a", "id_b", "hamming"
+    # r7: the 8-byte fingerprint rides through the band self-join as a
+    # candidate_pairs payload, so Hamming verification is an inline
+    # bit_count filter — the two shuffle joins back to `hashed` are gone
+    # (guide §2.3/§2.4); the distinct runs over (ids, fps), which payload
+    # functional dependence makes the same pair set as before
+    cands = lsh.candidate_pairs(band_df, cfg, payload_cols=("dhash",))
+    out = (
+        cands.withColumn(
+            "hamming", simhash.hamming_col("dhash_a", "dhash_b")
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
     )
     out._hmse_gram_cache = hashed
     out._hmse_gram_finalizer = weakref.finalize(out, _safe_unpersist, hashed)

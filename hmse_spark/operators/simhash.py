@@ -155,6 +155,37 @@ def hamming_col(a: str, b: str):
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
 
 
+def banded_verified_sim_pairs(
+    fp_df: DataFrame,
+    id_col: str = "file_id",
+    cfg: PipelineConfig = DEFAULT,
+    dedup: bool = False,
+) -> DataFrame:
+    """Band candidacy + exact Hamming verification in ONE pass (r7): the
+    8-byte fingerprint rides through the band self-join as a
+    candidate_pairs payload column, so verification is an inline
+    bit_count filter instead of two shuffle joins of the pair set back to
+    the fingerprint table (guide §2.3/§2.4 — the join-based
+    ``verified_sim_pairs`` below remains for callers that already hold a
+    pair list). Output: (id_a, id_b, hamming), identical rows to
+    ``verified_sim_pairs(candidate_pairs(explode_sim_bands(fp_df)), fp_df)``
+    up to the multiplicity controlled by ``dedup``."""
+    from hmse_spark.operators import lsh
+
+    band_df = fp_df.select(
+        F.col(id_col).alias("uid"),
+        F.col("simhash"),
+        F.posexplode("sim_bands").alias("band_id", "band_hash"),
+    )
+    cands = lsh.candidate_pairs(band_df, cfg, dedup=dedup, payload_cols=("simhash",))
+    out = cands.withColumn(
+        "hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    )
+    return out.filter(F.col("hamming") <= F.lit(cfg.simhash_max_hamming)).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
 def verified_sim_pairs(
     pairs: DataFrame, fp_df: DataFrame, id_col: str = "file_id", cfg: PipelineConfig = DEFAULT
 ) -> DataFrame:

@@ -181,14 +181,16 @@ def run_near_dup_pipeline(
             ).select("id_a", "id_b")
         )
     if "simhash" in variants:
+        # r7: the 8-byte fingerprint rides through the band self-join as a
+        # payload column and verification is an inline bit_count filter —
+        # the two shuffle joins of the pair set back to the fingerprint
+        # table are gone (guide §2.3/§2.4); dedup falls to the union-level
+        # distinct like the other variants
         sim_fp = signatures.select(id_col, "simhash", "sim_bands")
-        sim_cand = lsh.candidate_pairs(
-            simhash.explode_sim_bands(sim_fp, id_col), cfg, dedup=False
-        )
         pair_sets.append(
             stage(
                 "pairs_simhash",
-                lambda: simhash.verified_sim_pairs(sim_cand, sim_fp, id_col, cfg),
+                lambda: simhash.banded_verified_sim_pairs(sim_fp, id_col, cfg),
             ).select("id_a", "id_b")
         )
     if "substr" in variants:

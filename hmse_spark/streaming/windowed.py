@@ -86,26 +86,29 @@ def windowed_event_counts(
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )
-_SESSION_STATE_SCHEMA = "times array<long>"
+# Sorted event times packed as little-endian int64 microseconds. Binary
+# instead of array<long> (r7): the state value round-trips through the state
+# store EVERY batch the key appears in, and a packed buffer ser/des as one
+# memcpy where the array type paid a per-element conversion — the dominant
+# share of the measured superlinear per-batch wall growth at 1M held events
+# (tools/session_state_stress.py; r6 verdict item #4).
+_SESSION_STATE_SCHEMA = "times binary"
 
 _US = 1_000_000
 
 
-def _split_sessions(times: list[int], gap_us: int) -> list[tuple[int, int, int]]:
-    """Sorted event times -> [(start, end, n)] split at gaps STRICTLY
-    larger than gap_us (diff == gap merges — the batch sessionizer's
-    `> gap` rule)."""
-    out = []
-    start = prev = times[0]
-    n = 1
-    for t in times[1:]:
-        if t - prev > gap_us:
-            out.append((start, prev, n))
-            start, n = t, 0
-        prev = t
-        n += 1
-    out.append((start, prev, n))
-    return out
+def _split_sessions(times, gap_us: int):
+    """SORTED event times (int64 numpy array) -> (starts, ends, counts)
+    arrays, split at gaps STRICTLY larger than gap_us (diff == gap merges —
+    the batch sessionizer's `> gap` rule). Vectorized: the split runs every
+    micro-batch over the full held state, so per-element Python would make
+    batch cost superlinear in held events."""
+    import numpy as np
+
+    cut = np.flatnonzero(np.diff(times) > gap_us)
+    s_idx = np.concatenate(([0], cut + 1))
+    e_idx = np.concatenate((cut, [times.size - 1]))
+    return times[s_idx], times[e_idx], e_idx - s_idx + 1
 
 
 def _session_fn(gap_us: int, max_state_events: int | None = None):
@@ -128,24 +131,29 @@ def _session_fn(gap_us: int, max_state_events: int | None = None):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
     ) -> Iterator[pd.DataFrame]:
+        import numpy as _np
         import pandas as _pd
 
         (user_id,) = key
 
-        def emit(rows):
+        def emit(starts, ends, counts):
             return _pd.DataFrame(
                 {
-                    "user_id": [user_id] * len(rows),
-                    "session_start": [_pd.Timestamp(s, unit="us") for s, _, _ in rows],
-                    "session_end": [_pd.Timestamp(e, unit="us") for _, e, _ in rows],
-                    "n_events": [n for _, _, n in rows],
+                    "user_id": _np.full(starts.size, user_id, dtype=_np.int64),
+                    "session_start": _pd.to_datetime(starts, unit="us"),
+                    "session_end": _pd.to_datetime(ends, unit="us"),
+                    "n_events": counts.astype(_np.int64),
                 }
             )
 
+        def held() -> _np.ndarray:
+            # state invariant: packed SORTED int64le micros
+            return _np.frombuffer(bytes(state.get[0]), dtype="<i8")
+
         if state.hasTimedOut:
-            (times,) = state.get
+            times = held()
             state.remove()
-            yield emit(_split_sessions(sorted(times), gap_us))
+            yield emit(*_split_sessions(times, gap_us))
             return
         # drop NaT defensively: a null that reached us would otherwise cast
         # to int64-min and fabricate a garbage session (the upstream
@@ -156,31 +164,44 @@ def _session_fn(gap_us: int, max_state_events: int | None = None):
             .dropna()
             .astype("datetime64[us]")
             .astype("int64")
-            .tolist()
+            .to_numpy()
         )
-        if not new and not state.exists:
+        if new.size == 0 and not state.exists:
             return
-        times = sorted((list(state.get[0]) if state.exists else []) + new)
-        if max_state_events is not None and len(times) > max_state_events:
+        new.sort(kind="stable")
+        if state.exists:
+            old = held()
+            # O(old + new) merge of two sorted arrays — the per-batch cost
+            # the r6 stress run showed growing 11.7 -> 53.8 s/batch came
+            # from re-sorting (and per-element converting) the full held
+            # state per batch; insert-merge keeps batch cost ∝ new events
+            # plus one linear pass over held state
+            times = _np.insert(old, _np.searchsorted(old, new), new)
+        else:
+            times = new
+        if max_state_events is not None and times.size > max_state_events:
             # LOUD overflow, never silent truncation: dropping raw times
             # would re-introduce exactly the summarized-state disorder bug
             # the raw-times design exists to prevent, so a hyperactive key
             # beyond the declared bound is an error the operator owner must
             # size for (raise the cap, widen the gap, or shard the key).
-            # Bound measured at tools/session_state_stress.py: ~8 B/event
-            # of store state, 1M events/key = 8.1 MB + per-batch re-sort.
+            # Bound measured at tools/session_state_stress.py: 8 B/event
+            # of packed store state.
             raise ValueError(
-                f"sessionize_stream state for key {key} holds {len(times)} "
+                f"sessionize_stream state for key {key} holds {times.size} "
                 f"in-horizon events (cap {max_state_events}); see "
                 "max_state_events docstring"
             )
-        sessions = _split_sessions(times, gap_us)
+        starts, ends, counts = _split_sessions(times, gap_us)
         wm_us = state.getCurrentWatermarkMs() * 1000
-        final = [s for s in sessions if s[1] + gap_us < wm_us]
-        keep = [s for s in sessions if s[1] + gap_us >= wm_us]
-        if keep:
-            kept_times = [t for t in times if t >= keep[0][0]]
-            state.update((kept_times,))
+        final = ends + gap_us < wm_us
+        n_final = int(final.sum())
+        if n_final < starts.size:
+            # sessions [n_final:] are kept; state holds every time from the
+            # first kept session's start onward
+            first_kept_start = starts[n_final]
+            kept_times = times[_np.searchsorted(times, first_kept_start):]
+            state.update((kept_times.tobytes(),))
             # Spark requires the timeout timestamp to be STRICTLY greater
             # than the current watermark, and //1000 truncation could land
             # exactly on it when end + gap is within 1 ms of the watermark
@@ -188,12 +209,12 @@ def _session_fn(gap_us: int, max_state_events: int | None = None):
             # watermark — firing 1 ms later is harmless.
             wm_ms = wm_us // 1000
             state.setTimeoutTimestamp(
-                max((kept_times[-1] + gap_us) // 1000 + 1, wm_ms + 1)
+                max(int(kept_times[-1] + gap_us) // 1000 + 1, wm_ms + 1)
             )
         else:
             state.remove()
-        if final:
-            yield emit(final)
+        if n_final:
+            yield emit(starts[:n_final], ends[:n_final], counts[:n_final])
 
     return fn
 
@@ -215,16 +236,19 @@ def sessionize_stream(
     (user_id, session_start, session_end, n_events).
 
     State bound (measured, tools/session_state_stress.py): state per key ∝
-    events inside the watermark horizon, ~8 bytes/event in the store —
-    1M events for one key held 8.1 MB and emitted one correct session, but
-    each batch touching that key re-sorts its full raw-times array, so the
-    per-batch wall grows with held state (11.7 s -> 53.8 s across 10
-    100k-event batches in the stress run). ``max_state_events`` declares
-    the per-key ceiling the deployment is sized for: beyond it the
-    operator raises LOUDLY (silent truncation would re-introduce the
-    summarized-state disorder bug). None = unbounded, the documented
-    default — correct for any key whose in-horizon event count fits
-    memory; size it from the stress tool's 8 B/event figure."""
+    events inside the watermark horizon, 8 bytes/event in the store (packed
+    sorted int64 micros in a single binary cell). Per-batch cost is ∝ new
+    events plus one LINEAR pass over held state (sorted insert-merge +
+    vectorized gap split + one memcpy-shaped state round-trip) — the r6
+    implementation re-sorted and per-element-converted the full raw-times
+    array every batch, which grew per-batch wall 11.7 -> 53.8 s across 10
+    100k-event batches at 1M held events; see the refreshed stress numbers
+    in OPTIMIZATION_r07.md. ``max_state_events`` declares the per-key
+    ceiling the deployment is sized for: beyond it the operator raises
+    LOUDLY (silent truncation would re-introduce the summarized-state
+    disorder bug). None = unbounded, the documented default — correct for
+    any key whose in-horizon event count fits memory; size it from the
+    8 B/event figure."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_minutes * 60 * _US

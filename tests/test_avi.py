@@ -133,3 +133,20 @@ def test_multimodal_video_stratum_decodes_for_real(spark):
     }
     assert len(sampled) >= n_mjpeg  # >= 1 sampled frame per real clip
     assert all(r["height"] > 0 and len(r["frame_sha"]) == 64 for r in sampled)
+
+
+def test_avi_total_pixel_budget_bounds_accumulated_frames(monkeypatch):
+    """r7 (r6 ADVICE): the per-frame pixel cap and the frame-count cap are
+    independent, so many individually-legal frames could still accumulate
+    an unbounded pixel total in one decode call. The aggregate budget
+    raises loudly instead. Patched low so the test stays cheap; the real
+    budget is 4x the single-frame cap."""
+    frames = _frames(11, n=6, h=24, w=32)  # 6 x 768 px
+    data = avi.encode_avi_mjpeg(frames)
+    assert len(avi.decode_avi_mjpeg(data)) == 6  # under the real budget
+
+    monkeypatch.setattr(avi, "_MAX_TOTAL_PIXELS", 3 * 24 * 32)
+    with pytest.raises(ValueError, match="total pixel budget"):
+        avi.decode_avi_mjpeg(data)
+    # sampling that stays under the patched budget still succeeds
+    assert len(avi.decode_avi_mjpeg(data, every_n=2)) == 3

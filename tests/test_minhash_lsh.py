@@ -321,3 +321,48 @@ def test_dense_band_buckets_salted_under_hub_default(spark):
     # accounting still strategy-exact per bucket
     for r in report:
         assert r["pairs_kept"] + r["pairs_elided"] == 40 * 39 // 2
+
+
+def test_candidate_pairs_payload_carry_matches_plain(spark):
+    """r7: payload_cols carries per-unit fingerprints through every pair
+    path (small self-join, hub star, dense-band salt split, salted links).
+    Pin: same (id_a, id_b) set as the plain call, and every carried value
+    matches the uid -> payload mapping."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from hmse_spark.config import DEFAULT
+    from hmse_spark.operators import lsh
+
+    # 3 regimes in one band table: a small bucket (4 members), an oversized
+    # MAIN band bucket (hub star), an oversized DENSE band bucket (salt)
+    rows = []
+    fp = {}
+    uid = 0
+    for band_id, band_hash, n in ((0, 111, 4), (1, 222, 9), (7, 333, 9)):
+        for _ in range(n):
+            fp[uid] = uid * 1000 + 7
+            rows.append((uid, band_id, band_hash, fp[uid]))
+            uid += 1
+    band = spark.createDataFrame(
+        rows, "uid long, band_id int, band_hash long, payload long"
+    )
+    cfg = dataclasses.replace(DEFAULT, max_bucket_size=4)
+
+    for skew in ("hub", "salt"):
+        c = dataclasses.replace(cfg, skew_strategy=skew)
+        plain = {
+            (r["id_a"], r["id_b"])
+            for r in lsh.candidate_pairs(band.drop("payload"), c).collect()
+        }
+        carried = lsh.candidate_pairs(band, c, payload_cols=("payload",)).collect()
+        assert {(r["id_a"], r["id_b"]) for r in carried} == plain
+        for r in carried:
+            assert r["payload_a"] == fp[r["id_a"]], (skew, r)
+            assert r["payload_b"] == fp[r["id_b"]], (skew, r)
+        # dedup=False multiplicity folds back to the same distinct set
+        loose = lsh.candidate_pairs(
+            band, c, dedup=False, payload_cols=("payload",)
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in loose} == plain

@@ -128,6 +128,19 @@ def test_bpeish_tokens_multibyte_behavior(spark, mb_dir):
     # the UDF — the divergence now confined off the query path
     assert (col_n, udf_n, duck_n) == (7, 5, 7)
 
+    # r7 (r6 ADVICE): U+000B vertical tab — Java's \s includes it, RE2's
+    # does not, so the column's explicit [\t\n\f\r ] class (not \s) is what
+    # keeps the Java engine oracle-identical: VT is a counted symbol token
+    # on both sides (3), while a Java-\s formulation would skip it (2)
+    vt_text = "a\x0bb"
+    dfv = spark.createDataFrame([(1, vt_text)], "doc_id long, text string")
+    col_v = dfv.select(bpeish_token_count_col("text").alias("n")).collect()[0]["n"]
+    duck_v = duckdb.connect().execute(
+        "SELECT len(regexp_extract_all(?, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))",
+        [vt_text],
+    ).fetchone()[0]
+    assert (col_v, duck_v) == (3, 3)
+
 
 def test_byte_gram_paths_are_utf8_byte_consistent():
     """Shingles/anchors consume UTF-8 bytes: same text -> same grams, and

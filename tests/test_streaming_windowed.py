@@ -355,3 +355,38 @@ def test_sessionize_stream_matches_batch_sessionizer(spark, stream_env):
     }
     assert stream_rows == batch_rows
     assert batch_sessionize is not None  # the module-level batch API exists
+
+def test_split_sessions_vectorized_matches_reference():
+    """r7: _split_sessions moved from a per-event Python loop to a
+    vectorized numpy split (per-batch cost over held state). Pin it against
+    a brute-force reference on random sorted inputs, including the
+    diff == gap merge rule and single-event/all-one-session edges."""
+    import numpy as np
+
+    from hmse_spark.streaming.windowed import _split_sessions
+
+    def reference(times, gap):
+        out = []
+        start = prev = times[0]
+        n = 1
+        for t in times[1:]:
+            if t - prev > gap:
+                out.append((start, prev, n))
+                start, n = t, 0
+            prev = t
+            n += 1
+        out.append((start, prev, n))
+        return out
+
+    rng = np.random.default_rng(7)
+    cases = [
+        np.array([5], dtype=np.int64),
+        np.array([0, 10, 20], dtype=np.int64),          # all one session at gap 10
+        np.array([0, 10, 21], dtype=np.int64),          # split only at diff > gap
+        np.sort(rng.integers(0, 10_000, size=500)).astype(np.int64),
+    ]
+    for times in cases:
+        for gap in (1, 10, 100, 5_000):
+            s, e, c = _split_sessions(times, gap)
+            got = list(zip(s.tolist(), e.tolist(), c.tolist()))
+            assert got == reference(times.tolist(), gap), (times[:5], gap)
