@@ -358,10 +358,24 @@ def prefix_filter_containment_candidates(
         if known_max_df is not None:
             max_df = known_max_df
         else:
-            # EAGER probe job (documented above): one cheap agg over the
-            # persisted gram frame, skipped when the caller passes
-            # known_max_df
-            max_df = annotated.agg(F.max("_df")).first()[0] or 0
+            # r7: before paying the probe JOB, bound max_df from the
+            # driver-side file listing — a gram's document frequency cannot
+            # exceed the unit count, and a file-backed input whose on-disk
+            # bytes are below salt_threshold cannot hold that many units
+            # (same no-job reasoning as the pipeline's bucket-strategy
+            # heuristic; the failure mode of an overestimate here is the
+            # always-safe salted path, of an underestimate a slower-but-
+            # correct window task)
+            from hmse_spark.runtime import input_bytes_upper_bound
+
+            in_bytes = input_bytes_upper_bound(units)
+            if in_bytes is not None and in_bytes < salt_threshold:
+                max_df = in_bytes
+            else:
+                # EAGER probe job (documented above): one cheap agg over
+                # the persisted gram frame, skipped when the caller passes
+                # known_max_df
+                max_df = annotated.agg(F.max("_df")).first()[0] or 0
         if max_df <= salt_threshold:
             postings = (
                 annotated.withColumn(

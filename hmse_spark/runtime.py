@@ -112,13 +112,18 @@ def fan_out_small_input(df, min_parts: int | None = None, probe=None):
 def input_bytes_upper_bound(df) -> int | None:
     """Total on-disk bytes of the file-backed scans under ``df``, from the
     driver's file listing only (NO Spark job). None when the plan has no
-    file source (in-memory relations) — callers must then treat the size
-    as unknown."""
+    file source, or MIXES file scans with in-memory relations (a union of
+    a parquet table and createDataFrame rows would otherwise under-count)
+    — callers must then treat the size as unknown."""
     try:
         paths = df.inputFiles()
+        plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return None
     if not paths:
+        return None
+    # rows that do not come from listed files void the bound
+    if any(tag in plan for tag in ("LocalRelation", "LogicalRDD", "Range (")):
         return None
     total = 0
     for p in paths:
