@@ -110,7 +110,9 @@ def ingest_increment(
         touched = new_bands.unionByName(
             existing_band_rows.join(new_keys, ["band_id", "band_hash"], "left_semi")
         )
-    pairs = lsh.candidate_pairs(touched, cfg)
+    # dedup=False: the .distinct() closing touching_new below is the single
+    # exchange that dedups the pair set (guide §2.4)
+    pairs = lsh.candidate_pairs(touched, cfg, dedup=False)
     # keep only pairs that involve a new unit — old-old pairs were already
     # emitted by previous batches
     new_ids = sigs.select(F.col(id_col).alias("id_a"))
@@ -345,6 +347,9 @@ def ingest_near_dup_increment(
     # same skew-adaptive annotation the batch pipeline passes: a hot
     # persisted bucket is re-touched by EVERY colliding batch, the exact
     # shape the window plan's one-task cliff hits (r6 review)
+    # dedup=False on each variant: _touching_new ends in its own distinct,
+    # and the cross-variant union at `candidates` distincts once more — the
+    # per-variant exchange bought nothing (guide §2.4)
     mh_pairs = _touching_new(
         lsh.candidate_pairs(
             None,
@@ -352,6 +357,7 @@ def ingest_near_dup_increment(
             annotated=lsh.annotate_bucket_sizes(
                 mh_touched, strategy=cfg.bucket_size_strategy
             ),
+            dedup=False,
         )
     )
 
@@ -363,7 +369,7 @@ def ingest_near_dup_increment(
     sh_touched = new_sim.unionByName(
         state.sim_bands.join(sh_keys, ["band_id", "band_hash"], "left_semi")
     )
-    sh_pairs = _touching_new(lsh.candidate_pairs(sh_touched, cfg))
+    sh_pairs = _touching_new(lsh.candidate_pairs(sh_touched, cfg, dedup=False))
 
     # Anchor fingerprints: every fp a new-old pair shares is a new-doc fp,
     # so the semi-join keeps shared-fp counts for touching-new pairs exact
