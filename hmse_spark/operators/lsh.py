@@ -121,6 +121,48 @@ def annotate_bucket_sizes(
     return band_df.withColumn("bucket_size", F.count("*").over(w))
 
 
+def _small_bucket_pairs(
+    small: DataFrame, payload_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Within-bucket pairs for SMALL (<= cfg.max_bucket_size) buckets via
+    grouped arrays + an in-row pair expansion (r7), replacing the band-table
+    self-join.
+
+    The annotate exchange already partitions rows by (band_id, band_hash),
+    so the groupBy here adds NO exchange — it replaces the sort-merge
+    self-join (two sorted reads of the shuffle + join probe) with one
+    aggregate and a narrow higher-order-function expansion. Memory is safe
+    BY CONSTRUCTION: the caller routes only bucket_size <= max_bucket_size
+    rows here, so no array exceeds the cap (default 200 elements); the
+    oversized buckets keep the r6 hub/salt machinery. Output is the exact
+    self-join pair set: every unordered pair within a bucket, id_a < id_b,
+    payloads riding per element."""
+    elem = F.struct(F.col("uid"), *[F.col(c) for c in payload_cols])
+    grouped = small.groupBy("band_id", "band_hash").agg(
+        F.collect_list(elem).alias("_m")
+    )
+    pairs_expr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_m"),
+                lambda x: F.transform(
+                    F.col("_m"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"]["uid"] < p["b"]["uid"],
+    )
+    ex = grouped.select(F.explode(pairs_expr).alias("_p"))
+    cols = [
+        F.col("_p.a.uid").alias("id_a"),
+        F.col("_p.b.uid").alias("id_b"),
+    ]
+    for c in payload_cols:
+        cols.append(F.col(f"_p.a.{c}").alias(f"{c}_a"))
+        cols.append(F.col(f"_p.b.{c}").alias(f"{c}_b"))
+    return ex.select(*cols)
+
+
 def _pair_cols(payload_cols: tuple[str, ...]) -> list[str]:
     out = ["id_a", "id_b"]
     for c in payload_cols:
@@ -182,13 +224,7 @@ def candidate_pairs(
     keys = ["band_id", "band_hash"]
 
     small = annotated.filter(F.col("bucket_size") <= cfg.max_bucket_size)
-    a = small.select(
-        *keys, F.col("uid").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in payload_cols]
-    )
-    b = small.select(
-        *keys, F.col("uid").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in payload_cols]
-    )
-    small_pairs = a.join(b, keys).filter(F.col("id_a") < F.col("id_b"))
+    small_pairs = _small_bucket_pairs(small, payload_cols)
 
     big = annotated.filter(F.col("bucket_size") > cfg.max_bucket_size)
     # the hub star's soundness argument is r=32 purity (bucket membership
@@ -220,9 +256,8 @@ def candidate_pairs(
         )
     )
 
-    cols = _pair_cols(payload_cols)
     out = (
-        small_pairs.select(*cols)
+        small_pairs
         .unionByName(big_pairs)
         .unionByName(_salted_big_pairs(big_dense, cfg, payload_cols))
     )
@@ -254,18 +289,12 @@ def salted_candidate_pairs(
     keys = ["band_id", "band_hash"]
 
     small = annotated.filter(F.col("bucket_size") <= cfg.max_bucket_size)
-    a = small.select(
-        *keys, F.col("uid").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in payload_cols]
-    )
-    b = small.select(
-        *keys, F.col("uid").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in payload_cols]
-    )
-    small_pairs = a.join(b, keys).filter(F.col("id_a") < F.col("id_b"))
+    small_pairs = _small_bucket_pairs(small, payload_cols)
 
     salted = _salted_big_pairs(
         annotated.filter(F.col("bucket_size") > cfg.max_bucket_size), cfg, payload_cols
     )
-    out = small_pairs.select(*_pair_cols(payload_cols)).unionByName(salted)
+    out = small_pairs.unionByName(salted)
     return out.distinct() if dedup else out
 
 

@@ -110,11 +110,26 @@ def anchor_pairs_from_fps(fps: DataFrame, cfg: PipelineConfig = DEFAULT) -> Data
     ).filter(F.col("bucket_size") > 1)
 
     small = annotated.filter(F.col("bucket_size") <= cfg.max_bucket_size)
-    a = small.select("fp", F.col("uid").alias("id_a"))
-    b = small.select("fp", F.col("uid").alias("id_b"))
+    # r7: within-bucket pairs via grouped arrays + in-row expansion instead
+    # of the fp self-join — the groupBy reuses the window's partitioning (no
+    # exchange), arrays are bounded by max_bucket_size (same reasoning as
+    # lsh._small_bucket_pairs), and the sort-merge self-join machinery
+    # disappears. Pair multiset identical, so shared_fps counts are too.
+    grouped = small.groupBy("fp").agg(F.collect_list("uid").alias("_m"))
+    pairs_expr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_m"),
+                lambda x: F.transform(
+                    F.col("_m"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
     small_pairs = (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        grouped.select(F.explode(pairs_expr).alias("_p"))
+        .select(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= cfg.substr_min_anchors)

@@ -1005,10 +1005,12 @@ def q_bpeish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whitespace-free pattern: dropping ``\\s+`` is equivalent to
     filtering whitespace matches because no other alternative can match a
     whitespace character. NULL text counts 0 (COALESCE, the
-    repetition_metrics convention). Java regex and RE2 both use ASCII
-    ``\\s``, so the column is oracle-identical on exotic Unicode whitespace
-    too — the divergence docs/MULTIBYTE.md used to pin now lives only in
-    the off-path UDF."""
+    repetition_metrics convention). r7: the column spells RE2's ASCII
+    whitespace class out explicitly ([\\t\\n\\f\\r ]) instead of ``\\s`` —
+    Java's ``\\s`` additionally matches U+000B where RE2's does not — so it
+    is oracle-identical on EVERY byte, including exotic Unicode whitespace;
+    the old divergence docs/MULTIBYTE.md pins lives only in the off-path
+    UDF."""
     from hmse_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents")
