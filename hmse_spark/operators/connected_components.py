@@ -146,7 +146,13 @@ def _local_cc(edges: DataFrame, rows: list | None = None) -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     out = [(x, find(x)) for x in parent]
-    return edges.sparkSession.createDataFrame(out, "uid long, cluster_id long")
+    # Arrow path (one JVM call over a record batch) instead of the pickled-
+    # RDD path — createDataFrame(list) parallelizes and pickles row by row,
+    # measurably slower even at a few thousand labels (r7)
+    import pandas as pd
+
+    pdf = pd.DataFrame(out, columns=["uid", "cluster_id"], dtype="int64")
+    return edges.sparkSession.createDataFrame(pdf, "uid long, cluster_id long")
 
 
 def attach_singletons(labels: DataFrame, all_units: DataFrame, id_col: str = "file_id") -> DataFrame:
